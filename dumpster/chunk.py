@@ -1,0 +1,202 @@
+"""Chunk container format — the engine's on-disk unit.
+
+Where the reference hands rows to parquet-avro and lets it produce pages
+(reference: RecordWriter.java:27-34, 256 MiB row groups / 64 KiB pages set
+at HourlyBasedRecordConsumer.java:161-162), this engine serialises one
+Arrow RecordBatch per chunk into a self-describing binary container:
+
+    b"DMC1"
+    u32 schema_len | Arrow IPC schema bytes        (exact type round-trip)
+    u32 n_cols | u64 n_rows
+    per column:
+        u32 desc_len | desc JSON {name, codec, zlib, kind, meta, ...}
+        u32 vbm_len  | validity bitmap (LSB-first packbits; absent if 0)
+        u64 payload_len | codec payload
+    u32 crc32 (of everything after the magic)
+
+Codec shapes (codecs/base.py): integer-family columns (ints, bool,
+timestamp, date) normalise to int64 — frame-of-reference bit-packing
+erases the widening; floats stay native; string/binary flow as
+(data, offsets) pairs without materialising Python objects.
+
+decode_chunk(encode_chunk(batch)) reproduces the batch bit-identically,
+including nulls, non-UTF8 binary, and timestamp units — the north_rule's
+round-trip invariant.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+from .codecs import (CODEC_NAMES, decode_fixed, decode_var,
+                     select_encode_fixed, select_encode_var, stable_seed)
+
+MAGIC = b"DMC1"
+
+_KIND_INT = "i"      # ints / bool / timestamp / date → int64
+_KIND_FLOAT = "f"    # float32/float64 native
+_KIND_VAR = "v"      # string/binary → (data, offsets)
+
+
+def _kind_of(t: pa.DataType) -> str:
+    if (pa.types.is_integer(t) or pa.types.is_boolean(t)
+            or pa.types.is_timestamp(t) or pa.types.is_date(t)
+            or pa.types.is_time(t)):
+        return _KIND_INT
+    if pa.types.is_floating(t):
+        return _KIND_FLOAT
+    if (pa.types.is_string(t) or pa.types.is_large_string(t)
+            or pa.types.is_binary(t) or pa.types.is_large_binary(t)):
+        return _KIND_VAR
+    raise TypeError(f"unsupported column type for codec layer: {t}")
+
+
+def _int64_view_type(t: pa.DataType) -> pa.DataType:
+    """The int64-family arrow type used as the cast bridge for _KIND_INT."""
+    return pa.int64()
+
+
+def _dense_and_validity(arr: pa.Array) -> tuple[pa.Array, np.ndarray | None]:
+    if arr.null_count == 0:
+        return arr, None
+    valid = np.asarray(arr.is_valid())
+    return arr.drop_null(), valid
+
+
+def _var_parts(arr: pa.Array) -> tuple[bytes, np.ndarray]:
+    a = arr.cast(pa.large_binary())
+    bufs = a.buffers()
+    offs = np.frombuffer(bufs[1], dtype=np.int64,
+                         count=len(a) + 1, offset=a.offset * 8)
+    start, end = int(offs[0]), int(offs[-1])
+    data = bytes(bufs[2][start:end]) if bufs[2] is not None else b""
+    return data, (offs - start)
+
+
+def encode_chunk(batch: pa.RecordBatch, *, table_id: str = "t",
+                 bucket: int = 0, chunk_seq: int = 0,
+                 allow_zlib: bool = True) -> tuple[bytes, list[dict]]:
+    """Encode one RecordBatch → (container bytes, per-column stats)."""
+    n_rows = batch.num_rows
+    schema_bytes = batch.schema.serialize().to_pybytes()
+    body = bytearray()
+    body += struct.pack("<I", len(schema_bytes)) + schema_bytes
+    body += struct.pack("<IQ", batch.num_columns, n_rows)
+    stats = []
+    for name, col in zip(batch.schema.names, batch.columns):
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        kind = _kind_of(arr.type)
+        dense, valid = _dense_and_validity(arr)
+        seed = stable_seed(table_id, bucket, chunk_seq, name)
+        raw_bytes = _raw_size(dense, kind)
+        if kind == _KIND_VAR:
+            data, offsets = _var_parts(dense)
+            codec, zl, payload, meta, _ = select_encode_var(
+                data, offsets, seed, allow_zlib)
+        else:
+            if kind == _KIND_INT:
+                vals = np.asarray(dense.cast(_int64_view_type(arr.type)))
+            else:
+                vals = np.asarray(dense)
+            codec, zl, payload, meta, _ = select_encode_fixed(
+                vals, seed, allow_zlib)
+        vbm = np.packbits(valid, bitorder="little").tobytes() if valid is not None else b""
+        desc = {"name": name, "codec": codec, "zlib": bool(zl), "kind": kind,
+                "meta": meta, "n_valid": len(dense)}
+        desc_b = json.dumps(desc, separators=(",", ":")).encode()
+        body += struct.pack("<I", len(desc_b)) + desc_b
+        body += struct.pack("<I", len(vbm)) + vbm
+        body += struct.pack("<Q", len(payload)) + payload
+        stats.append({"column": name, "codec": CODEC_NAMES[codec],
+                      "zlib": bool(zl), "raw_bytes": raw_bytes,
+                      "encoded_bytes": len(payload) + len(desc_b) + len(vbm) + 16,
+                      "n_nulls": int(arr.null_count)})
+    crc = zlib.crc32(bytes(body)) & 0xFFFFFFFF
+    return MAGIC + bytes(body) + struct.pack("<I", crc), stats
+
+
+def decode_chunk(blob: bytes) -> pa.RecordBatch:
+    if blob[:4] != MAGIC:
+        raise ValueError("bad chunk magic")
+    body = blob[4:-4]
+    (crc,) = struct.unpack("<I", blob[-4:])
+    if zlib.crc32(body) & 0xFFFFFFFF != crc:
+        raise ValueError("chunk crc mismatch")
+    pos = 0
+    (schema_len,) = struct.unpack_from("<I", body, pos); pos += 4
+    schema = pa.ipc.read_schema(pa.BufferReader(body[pos:pos + schema_len]))
+    pos += schema_len
+    n_cols, n_rows = struct.unpack_from("<IQ", body, pos); pos += 12
+    arrays = []
+    for _ in range(n_cols):
+        (dlen,) = struct.unpack_from("<I", body, pos); pos += 4
+        desc = json.loads(body[pos:pos + dlen]); pos += dlen
+        (vlen,) = struct.unpack_from("<I", body, pos); pos += 4
+        vbm = body[pos:pos + vlen]; pos += vlen
+        (plen,) = struct.unpack_from("<Q", body, pos); pos += 8
+        payload = body[pos:pos + plen]; pos += plen
+        field = schema.field(desc["name"])
+        arrays.append(_decode_column(desc, vbm, payload, n_rows, field.type))
+    return pa.RecordBatch.from_arrays(arrays, schema=schema)
+
+
+def _decode_column(desc: dict, vbm: bytes, payload: bytes, n_rows: int,
+                   target_type: pa.DataType) -> pa.Array:
+    kind, codec, zl, meta = desc["kind"], desc["codec"], desc["zlib"], desc["meta"]
+    n_valid = desc["n_valid"]
+    valid = None
+    if vbm:
+        valid = np.unpackbits(np.frombuffer(vbm, dtype=np.uint8),
+                              count=n_rows, bitorder="little").astype(bool)
+    if kind == _KIND_VAR:
+        data, offsets = decode_var(codec, zl, payload, meta, n_valid)
+        if valid is not None:
+            dense_lens = np.diff(offsets)
+            lens = np.zeros(n_rows, dtype=np.int64)
+            lens[valid] = dense_lens
+            offsets = np.concatenate(([0], np.cumsum(lens)))
+        arr = pa.Array.from_buffers(
+            pa.large_binary(), n_rows,
+            [_vbuf(valid), pa.py_buffer(offsets.astype(np.int64).tobytes()),
+             pa.py_buffer(data)],
+            null_count=-1 if valid is not None else 0)
+        return arr.cast(target_type)
+    vals = decode_fixed(codec, zl, payload, meta, n_valid)
+    if kind == _KIND_INT:
+        vals = vals.view(np.int64)
+        full = np.zeros(n_rows, dtype=np.int64)
+        bridge = pa.int64()
+    else:
+        full = np.zeros(n_rows, dtype=vals.dtype)
+        bridge = pa.from_numpy_dtype(vals.dtype)
+    if valid is not None:
+        full[valid] = vals
+    else:
+        full = np.ascontiguousarray(vals)
+    arr = pa.Array.from_buffers(
+        bridge, n_rows, [_vbuf(valid), pa.py_buffer(full.tobytes())],
+        null_count=-1 if valid is not None else 0)
+    if target_type == pa.bool_():
+        return arr.cast(pa.bool_())
+    return arr.cast(target_type)
+
+
+def _vbuf(valid: np.ndarray | None):
+    if valid is None:
+        return None
+    return pa.py_buffer(np.packbits(valid, bitorder="little").tobytes())
+
+
+def _raw_size(dense: pa.Array, kind: str) -> int:
+    if kind == _KIND_VAR:
+        a = dense.cast(pa.large_binary())
+        bufs = a.buffers()
+        offs = np.frombuffer(bufs[1], dtype=np.int64,
+                             count=len(a) + 1, offset=a.offset * 8)
+        return int(offs[-1] - offs[0]) + 8 * len(dense)
+    return len(dense) * 8

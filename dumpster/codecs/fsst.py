@@ -1,0 +1,154 @@
+"""FSST-style symbol-table string compression, from scratch.
+
+Follows the published FSST design (Boncz, Neumann, Leis: "FSST: Fast Random
+Access String Compression", VLDB 2020): a table of up to 8-byte symbols is
+*evolved* over a few generations on a sample — parse the sample greedily
+with the current table, count symbol and adjacent-pair gains
+(``count * (len-1)`` bytes saved), keep the top gainers, repeat so symbols
+grow 1→2→4→8 bytes — then the full buffer is encoded with the final table.
+
+Two deliberate deviations from the paper, chosen for a vectorized
+pure-Python engine (no SIMD kernels available):
+
+* **Code space = the byte values absent from the chunk.**  Instead of the
+  paper's 255 codes + escape byte, every byte value that occurs in the
+  chunk keeps itself as its own code (identity), and multi-byte symbols are
+  assigned the byte values that do NOT occur.  Encoding then needs no
+  escape pass at all and becomes a chain of C-speed ``bytes.replace``
+  calls (longest symbol first); decoding is a vectorized 256-row expansion
+  gather.  When the chunk uses all 256 byte values (e.g. random binary)
+  FSST is *inapplicable* and the selector falls back — which matches where
+  FSST wins anyway (text, urls).
+* **Strings are compressed as one concatenated buffer** with the original
+  lengths stored FOR-bitpacked; symbols may match across string
+  boundaries, which only helps ratio and cannot break the round-trip
+  because decode splits by original lengths.
+
+Both keep the invariant that matters: ``decode(encode(x)) == x`` byte-for-
+byte (the north_rule's "byte-identical extracted text per url").
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+
+from .base import offsets_from_lengths, pack_lengths, unpack_lengths
+
+MAX_SYMBOL_LEN = 8
+GENERATIONS = 4
+DEFAULT_SAMPLE = 16 * 1024
+MAX_SYMBOLS = 96        # replace-chain passes are O(n) each; cap the chain
+
+
+class FsstInapplicable(ValueError):
+    """Raised when the chunk leaves no free code space (all 256 bytes used)."""
+
+
+def _greedy_parse(sample: bytes, symbols: set[bytes]) -> list[bytes]:
+    out = []
+    i, n = 0, len(sample)
+    maxlen = max((len(s) for s in symbols), default=1)
+    while i < n:
+        match = None
+        top = min(MAX_SYMBOL_LEN, maxlen, n - i)
+        for length in range(top, 1, -1):
+            cand = sample[i:i + length]
+            if cand in symbols:
+                match = cand
+                break
+        if match is None:
+            match = sample[i:i + 1]
+        out.append(match)
+        i += len(match)
+    return out
+
+
+def build_symbol_table(sample: bytes, budget: int) -> list[bytes]:
+    """Evolve a multi-byte symbol table on ``sample`` (paper §3.3 style)."""
+    current: list[bytes] = []
+    for _ in range(GENERATIONS):
+        parsed = _greedy_parse(sample, set(current))
+        gains: Counter = Counter()
+        for sym, cnt in Counter(parsed).items():
+            if len(sym) > 1:
+                gains[sym] += cnt * (len(sym) - 1)
+        for (a, b), cnt in Counter(zip(parsed, parsed[1:])).items():
+            merged = a + b
+            if len(merged) <= MAX_SYMBOL_LEN:
+                gains[merged] += cnt * (len(merged) - 1)
+        ranked = sorted(gains.items(), key=lambda kv: (-kv[1], kv[0]))
+        current = [s for s, g in ranked[:budget] if g >= 2 * len(s)]
+    return sorted(current, key=lambda s: (-len(s), s))
+
+
+def _take_sample(data: bytes, sample_bytes: int) -> bytes:
+    """Deterministic spread sample: 16 evenly spaced slices."""
+    n = len(data)
+    if n <= sample_bytes:
+        return data
+    k = 16
+    step = n // k
+    piece = sample_bytes // k
+    return b"".join(data[i * step:i * step + piece] for i in range(k))
+
+
+def encode_fsst_var(data: bytes, offsets: np.ndarray,
+                    sample_bytes: int = DEFAULT_SAMPLE) -> tuple[bytes, dict]:
+    arr = np.frombuffer(data, dtype=np.uint8)
+    lengths = np.diff(offsets.astype(np.int64))
+    lp, lmeta = pack_lengths(lengths)
+
+    present = np.flatnonzero(np.bincount(arr, minlength=256)) if len(arr) else np.empty(0, np.int64)
+    free_codes = sorted(set(range(256)) - set(int(b) for b in present))
+    if not free_codes:
+        raise FsstInapplicable("chunk uses all 256 byte values")
+
+    budget = min(MAX_SYMBOLS, len(free_codes))
+    symbols = build_symbol_table(_take_sample(data, sample_bytes), budget)
+    symbols = symbols[:budget]
+
+    enc = data
+    assignment: list[tuple[int, bytes]] = []      # (code, symbol)
+    for code, sym in zip(free_codes, symbols):
+        new = enc.replace(sym, bytes([code]))
+        if len(new) < len(enc):
+            assignment.append((code, sym))
+            enc = new
+    # symbol table section: u8 count, then per symbol u8 code, u8 len, bytes
+    tab = bytearray([len(assignment)])
+    for code, sym in assignment:
+        tab += bytes([code, len(sym)]) + sym
+    payload = lp + bytes(tab) + enc
+    return payload, {**lmeta, "lpn": len(lp), "tn": len(tab),
+                     "en": len(enc), "n_syms": len(assignment)}
+
+
+def decode_fsst_var(payload: bytes, meta: dict, n: int) -> tuple[bytes, np.ndarray]:
+    lpn, tn = meta["lpn"], meta["tn"]
+    lengths = unpack_lengths(payload[:lpn], meta)
+    tab = payload[lpn:lpn + tn]
+    enc = payload[lpn + tn:]
+
+    # expansion tables: identity by default, overridden per assigned code
+    exp = np.zeros((256, MAX_SYMBOL_LEN), dtype=np.uint8)
+    exp[:, 0] = np.arange(256, dtype=np.uint8)
+    exp_len = np.ones(256, dtype=np.int64)
+    pos = 1
+    for _ in range(tab[0]):
+        code, slen = tab[pos], tab[pos + 1]
+        sym = tab[pos + 2:pos + 2 + slen]
+        exp[code, :slen] = np.frombuffer(sym, dtype=np.uint8)
+        exp_len[code] = slen
+        pos += 2 + slen
+
+    codes = np.frombuffer(enc, dtype=np.uint8)
+    if len(codes):
+        rows = exp[codes]                                   # (m, 8)
+        lens = exp_len[codes]                               # (m,)
+        mask = np.arange(MAX_SYMBOL_LEN)[None, :] < lens[:, None]
+        out = rows[mask].tobytes()
+    else:
+        out = b""
+    return out, offsets_from_lengths(lengths)

@@ -1,0 +1,165 @@
+"""Sampling-based per-column-chunk codec auto-selection.
+
+The north_rule's "sampling-based codec auto-selector that picks the winner
+per column-chunk by estimated compressed size": draw a deterministic row
+sample (seeded from (bucket, chunk, column) so resumed runs pick identical
+codecs — SURVEY.md §7.4), encode the sample under every applicable codec,
+extrapolate to the full chunk, encode the full chunk with the winner, and
+guard the floor: if the winner somehow exceeds PLAIN's size the chunk falls
+back to PLAIN, so encoded size is never worse than raw + O(1) header.
+
+A final optional zlib (DEFLATE, stdlib) pass plays the role Snappy page
+compression plays in the reference sink (reference: RecordWriter.java:29
+``CompressionCodecName.SNAPPY``): a general byte-level stage layered over
+the lightweight encodings, applied only when it actually shrinks the
+payload by ≥ 1/8.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+
+from . import base
+from .base import DELTA_FOR, DICT, FOR, FSST, PLAIN, RLE
+from .dictionary import (decode_dict_fixed, decode_dict_var,
+                         encode_dict_fixed, encode_dict_var)
+from .forpack import (decode_delta_for, decode_for, encode_delta_for,
+                      encode_for)
+from .fsst import FsstInapplicable, decode_fsst_var, encode_fsst_var
+from .plain import (decode_plain_fixed, decode_plain_var, encode_plain_fixed,
+                    encode_plain_var)
+from .rle import (decode_rle_fixed, decode_rle_var, encode_rle_fixed,
+                  encode_rle_var)
+
+# kind → applicable codecs (ints are int64 views; ts are int64 µs)
+FIXED_INT_CODECS = (PLAIN, DICT, RLE, FOR, DELTA_FOR)
+FIXED_FLOAT_CODECS = (PLAIN, DICT, RLE)
+VAR_CODECS = (PLAIN, DICT, RLE, FSST)
+
+_ENC_FIXED = {PLAIN: encode_plain_fixed, DICT: encode_dict_fixed,
+              RLE: encode_rle_fixed, FOR: encode_for,
+              DELTA_FOR: encode_delta_for}
+_DEC_FIXED = {PLAIN: decode_plain_fixed, DICT: decode_dict_fixed,
+              RLE: decode_rle_fixed, FOR: decode_for,
+              DELTA_FOR: decode_delta_for}
+_ENC_VAR = {PLAIN: encode_plain_var, DICT: encode_dict_var,
+            RLE: encode_rle_var, FSST: encode_fsst_var}
+_DEC_VAR = {PLAIN: decode_plain_var, DICT: decode_dict_var,
+            RLE: decode_rle_var, FSST: decode_fsst_var}
+
+SAMPLE_ROWS = 1024
+ZLIB_LEVEL = 1
+ZLIB_MIN_GAIN = 0.875    # keep zlib only if it shrinks below 7/8
+
+
+def stable_seed(*parts) -> int:
+    """Deterministic 32-bit seed from identifying parts (no wall clock)."""
+    h = 2166136261
+    for p in parts:
+        for b in str(p).encode():
+            h = ((h ^ b) * 16777619) & 0xFFFFFFFF
+    return h
+
+
+def _sample_idx(n: int, seed: int, k: int = SAMPLE_ROWS) -> np.ndarray:
+    if n <= k:
+        return np.arange(n)
+    rng = np.random.default_rng(seed)
+    return np.sort(rng.choice(n, size=k, replace=False))
+
+
+def _candidates_fixed(vals: np.ndarray) -> tuple[int, ...]:
+    if vals.dtype.kind in "iu" or vals.dtype == np.int64:
+        return FIXED_INT_CODECS
+    return FIXED_FLOAT_CODECS
+
+
+def select_encode_fixed(vals: np.ndarray, seed: int,
+                        allow_zlib: bool = True) -> tuple[int, bool, bytes, dict, dict]:
+    """Returns (codec_id, zlibbed, payload, meta, selection_info)."""
+    n = len(vals)
+    cands = _candidates_fixed(vals)
+    idx = _sample_idx(n, seed)
+    sample = vals[idx]
+    scale = n / max(len(idx), 1)
+    ests = {}
+    for c in cands:
+        try:
+            p, _ = _ENC_FIXED[c](sample)
+            ests[c] = int(len(p) * scale)
+        except Exception:
+            continue
+    winner = min(ests, key=lambda c: (ests[c], c))
+    payload, meta = _ENC_FIXED[winner](vals)
+    if winner != PLAIN:
+        plain_p, plain_m = encode_plain_fixed(vals)
+        if len(plain_p) <= len(payload):
+            winner, payload, meta = PLAIN, plain_p, plain_m
+    payload, zlibbed = _maybe_zlib(payload, allow_zlib)
+    return winner, zlibbed, payload, meta, {"est": ests, "n": n}
+
+
+def select_encode_var(data: bytes, offsets: np.ndarray, seed: int,
+                      allow_zlib: bool = True) -> tuple[int, bool, bytes, dict, dict]:
+    n = len(offsets) - 1
+    idx = _sample_idx(n, seed)
+    s_data, s_offs = _subset_var(data, offsets, idx)
+    scale = n / max(len(idx), 1)
+    ests = {}
+    for c in VAR_CODECS:
+        try:
+            p, _ = _ENC_VAR[c](s_data, s_offs)
+            ests[c] = int(len(p) * scale)
+        except FsstInapplicable:
+            continue
+        except Exception:
+            continue
+    winner = min(ests, key=lambda c: (ests[c], c))
+    try:
+        payload, meta = _ENC_VAR[winner](data, offsets)
+    except FsstInapplicable:
+        winner = PLAIN
+        payload, meta = encode_plain_var(data, offsets)
+    if winner != PLAIN:
+        plain_p, plain_m = encode_plain_var(data, offsets)
+        if len(plain_p) <= len(payload):
+            winner, payload, meta = PLAIN, plain_p, plain_m
+    payload, zlibbed = _maybe_zlib(payload, allow_zlib)
+    return winner, zlibbed, payload, meta, {"est": ests, "n": n}
+
+
+def decode_fixed(codec: int, zlibbed: bool, payload: bytes, meta: dict,
+                 n: int) -> np.ndarray:
+    if zlibbed:
+        payload = zlib.decompress(payload)
+    return _DEC_FIXED[codec](payload, meta, n)
+
+
+def decode_var(codec: int, zlibbed: bool, payload: bytes, meta: dict,
+               n: int) -> tuple[bytes, np.ndarray]:
+    if zlibbed:
+        payload = zlib.decompress(payload)
+    return _DEC_VAR[codec](payload, meta, n)
+
+
+def _maybe_zlib(payload: bytes, allow: bool) -> tuple[bytes, bool]:
+    if not allow or len(payload) < 64:
+        return payload, False
+    z = zlib.compress(payload, ZLIB_LEVEL)
+    if len(z) < ZLIB_MIN_GAIN * len(payload):
+        return z, True
+    return payload, False
+
+
+def _subset_var(data: bytes, offsets: np.ndarray,
+                idx: np.ndarray) -> tuple[bytes, np.ndarray]:
+    if len(idx) == len(offsets) - 1:
+        return data, offsets
+    offs = offsets.astype(np.int64)
+    starts, ends = offs[idx], offs[idx + 1]
+    lens = ends - starts
+    mv = memoryview(data)
+    out = b"".join(bytes(mv[s:e]) for s, e in zip(starts.tolist(), ends.tolist()))
+    return out, base.offsets_from_lengths(lens)
