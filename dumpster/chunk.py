@@ -120,7 +120,10 @@ def encode_chunk(batch: pa.RecordBatch, *, table_id: str = "t",
     return MAGIC + bytes(body) + struct.pack("<I", crc), stats
 
 
-def decode_chunk(blob: bytes) -> pa.RecordBatch:
+def decode_chunk(blob: bytes, columns: list[str] | None = None) -> pa.RecordBatch:
+    """Decode a chunk container; ``columns`` prunes decode work per column
+    (non-requested payloads are skipped without decompression — the codec
+    layer's analog of Parquet column pruning)."""
     if blob[:4] != MAGIC:
         raise ValueError("bad chunk magic")
     body = blob[4:-4]
@@ -132,17 +135,27 @@ def decode_chunk(blob: bytes) -> pa.RecordBatch:
     schema = pa.ipc.read_schema(pa.BufferReader(body[pos:pos + schema_len]))
     pos += schema_len
     n_cols, n_rows = struct.unpack_from("<IQ", body, pos); pos += 12
-    arrays = []
+    arrays, names = [], []
     for _ in range(n_cols):
         (dlen,) = struct.unpack_from("<I", body, pos); pos += 4
         desc = json.loads(body[pos:pos + dlen]); pos += dlen
         (vlen,) = struct.unpack_from("<I", body, pos); pos += 4
         vbm = body[pos:pos + vlen]; pos += vlen
         (plen,) = struct.unpack_from("<Q", body, pos); pos += 8
+        if columns is not None and desc["name"] not in columns:
+            pos += plen
+            continue
         payload = body[pos:pos + plen]; pos += plen
         field = schema.field(desc["name"])
         arrays.append(_decode_column(desc, vbm, payload, n_rows, field.type))
-    return pa.RecordBatch.from_arrays(arrays, schema=schema)
+        names.append(desc["name"])
+    if columns is None:
+        return pa.RecordBatch.from_arrays(arrays, schema=schema)
+    order = {n: i for i, n in enumerate(names)}
+    sel = [c for c in columns if c in order]
+    fields = [schema.field(c) for c in sel]
+    return pa.RecordBatch.from_arrays([arrays[order[c]] for c in sel],
+                                      schema=pa.schema(fields))
 
 
 def _decode_column(desc: dict, vbm: bytes, payload: bytes, n_rows: int,

@@ -1,0 +1,288 @@
+"""encode_table / decode_table — the mapInArrow encode engine.
+
+This is the replacement for the reference's sink path
+(RecordWriter.java:27-34: rows → AvroParquetWriter with Snappy +
+dictionary): here the DataFrame is explicitly repartitioned on a salted
+host bucket (pipeline.prep_for_encode), each task walks its Arrow batches
+bucket-contiguously, slices them into chunks, pushes every column through
+the codec auto-selector (chunk.encode_chunk), writes chunk blobs, and —
+mirroring the reference's crash-consistency ordering of "data upload
+before offset commit" (HourlyBasedPartitioner.java:160-182, then
+TopicStreamer.java:65) — writes the bucket's manifest file only after all
+of its chunks are durably renamed.  Resume = skip buckets whose manifest
+file exists, so a relaunched job encodes only the remainder
+(the reference gets the same property from deterministic filenames
+{partition}_{firstOffset}.parquet + offset replay,
+HourlyBasedRecordConsumer.java:157).
+
+Scale notes (100 TB / 1000 executors):
+* one shuffle total, keyed by the salted bucket; n_buckets is the unit of
+  both parallelism and resume granularity — size it ≥ 2-3× total cores.
+* all Python execution is Arrow-vectorized whole batches; no per-row
+  Python anywhere (input_hint requirement).
+* chunk files + manifests go through a pluggable filesystem seam
+  (_fs_write_atomic): local FS here; s3a/HDFS in production — same
+  pattern as the reference's Uploader interface (Uploader.java:3-7,
+  S3Uploader.java / HDFSUploader.java).
+* decode is embarrassingly parallel over chunk files with column pruning
+  pushed into the chunk container (decode_chunk(columns=...)).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from .chunk import decode_chunk, encode_chunk
+from .pipeline import prep_for_encode
+
+DEFAULT_CHUNK_ROWS = 65536
+DEFAULT_CHUNK_BYTES = 32 * 1024 * 1024
+
+MANIFEST_DDL = ("bucket int, chunk_seq int, file string, n_rows long, "
+                "raw_bytes long, encoded_bytes long, n_cols int, "
+                "encode_ms double, partition_id int, col_stats string")
+
+_MANIFEST_ARROW = pa.schema([
+    ("bucket", pa.int32()), ("chunk_seq", pa.int32()), ("file", pa.string()),
+    ("n_rows", pa.int64()), ("raw_bytes", pa.int64()),
+    ("encoded_bytes", pa.int64()), ("n_cols", pa.int32()),
+    ("encode_ms", pa.float64()), ("partition_id", pa.int32()),
+    ("col_stats", pa.string()),
+])
+
+
+def _fs_write_atomic(path: str, data: bytes) -> None:
+    """Durable single-writer file publish: tmp + rename (local FS).
+
+    Production seam: swap for an S3 put / HDFS create — the manifest-after-
+    chunks ordering is what carries the crash-consistency contract, not the
+    rename itself.
+    """
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+
+
+def _manifest_path(out_dir: str, bucket: int) -> str:
+    return os.path.join(out_dir, "manifest", f"b{bucket:06d}.parquet")
+
+
+def _chunk_path(out_dir: str, bucket: int, seq: int) -> str:
+    return os.path.join(out_dir, "chunks", f"b{bucket:06d}_c{seq:05d}.dmc")
+
+
+def done_buckets(out_dir: str) -> set[int]:
+    mdir = os.path.join(out_dir, "manifest")
+    if not os.path.isdir(mdir):
+        return set()
+    return {int(f[1:7]) for f in os.listdir(mdir)
+            if f.startswith("b") and f.endswith(".parquet")}
+
+
+def _make_encoder(out_dir: str, table_id: str, chunk_rows: int,
+                  chunk_bytes: int, allow_zlib: bool, skip: frozenset):
+    def encode_partition(batches):
+        from pyspark import TaskContext
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else -1
+
+        state = {"bucket": None, "tables": [], "rows": 0, "bytes": 0,
+                 "seq": 0, "rows_out": []}
+
+        def emit_chunk(tbl: pa.Table):
+            t0 = time.perf_counter()
+            batch = tbl.combine_chunks().to_batches()[0]
+            bucket, seq = state["bucket"], state["seq"]
+            blob, stats = encode_chunk(batch, table_id=table_id,
+                                       bucket=bucket, chunk_seq=seq,
+                                       allow_zlib=allow_zlib)
+            path = _chunk_path(out_dir, bucket, seq)
+            _fs_write_atomic(path, blob)
+            ms = (time.perf_counter() - t0) * 1e3
+            state["rows_out"].append({
+                "bucket": bucket, "chunk_seq": seq, "file": path,
+                "n_rows": batch.num_rows,
+                "raw_bytes": int(sum(s["raw_bytes"] for s in stats)),
+                "encoded_bytes": len(blob), "n_cols": batch.num_columns,
+                "encode_ms": ms, "partition_id": pid,
+                "col_stats": json.dumps(stats, separators=(",", ":")),
+            })
+            state["seq"] += 1
+
+        def drain_full_chunks(final: bool):
+            while state["rows"] and (final or state["rows"] >= chunk_rows
+                                     or state["bytes"] >= chunk_bytes):
+                tbl = pa.concat_tables(state["tables"])
+                take = min(chunk_rows, tbl.num_rows)
+                emit_chunk(tbl.slice(0, take))
+                rest = tbl.slice(take)
+                state["tables"] = [rest] if rest.num_rows else []
+                state["rows"] = rest.num_rows
+                state["bytes"] = rest.nbytes if rest.num_rows else 0
+
+        def close_bucket():
+            if state["bucket"] is None:
+                return None
+            drain_full_chunks(final=True)
+            rows = state["rows_out"]
+            mb = pa.RecordBatch.from_pylist(rows, schema=_MANIFEST_ARROW)
+            # manifest is the commit record: written only after every chunk
+            # of the bucket is durably renamed (crash-consistency contract)
+            sink = pa.BufferOutputStream()
+            pq.write_table(pa.Table.from_batches([mb]), sink)
+            _fs_write_atomic(_manifest_path(out_dir, state["bucket"]),
+                             sink.getvalue().to_pybytes())
+            state.update(bucket=None, tables=[], rows=0, bytes=0, seq=0,
+                         rows_out=[])
+            return mb
+
+        def feed(bucket: int, tbl: pa.Table):
+            if bucket in skip:
+                return
+            if state["bucket"] is not None and bucket != state["bucket"]:
+                mb = close_bucket()
+                if mb is not None:
+                    yield mb
+            if state["bucket"] is None:
+                state["bucket"] = bucket
+            state["tables"].append(tbl)
+            state["rows"] += tbl.num_rows
+            state["bytes"] += tbl.nbytes
+            drain_full_chunks(final=False)
+
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            bcol = tbl.column("__bucket").to_numpy()
+            data = tbl.drop_columns(["__bucket"])
+            if len(bcol) == 0:
+                continue
+            change = np.flatnonzero(bcol[1:] != bcol[:-1]) + 1
+            bounds = np.concatenate(([0], change, [len(bcol)]))
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                yield from feed(int(bcol[s]), data.slice(s, e - s))
+        mb = close_bucket()
+        if mb is not None:
+            yield mb
+
+    return encode_partition
+
+
+def encode_table(df: DataFrame, out_dir: str, *, url_col: str | None = None,
+                 bucket_expr=None, n_buckets: int = 32, salt_k: int = 4,
+                 chunk_rows: int = DEFAULT_CHUNK_ROWS,
+                 chunk_bytes: int = DEFAULT_CHUNK_BYTES,
+                 table_id: str | None = None, allow_zlib: bool = True,
+                 resume: bool = True,
+                 order_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Encode ``df`` into chunk files + manifest under ``out_dir``.
+
+    Bucketing: pass ``url_col`` for web-page tables (salted host buckets,
+    pipeline.salted_bucket) or ``bucket_expr`` (any int Column) for other
+    tables; default falls back to hashing all columns.
+    Returns the manifest as a DataFrame (one row per chunk =
+    per-partition lineage + metrics, the north_rule requirement).
+    """
+    spark = df.sparkSession
+    os.makedirs(os.path.join(out_dir, "chunks"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "manifest"), exist_ok=True)
+    table_id = table_id or os.path.basename(os.path.normpath(out_dir))
+
+    schema_path = os.path.join(out_dir, "_schema.json")
+    if not os.path.exists(schema_path):
+        _fs_write_atomic(schema_path, df.schema.json().encode())
+
+    done = done_buckets(out_dir) if resume else set()
+
+    if url_col is not None:
+        prepped = prep_for_encode(df, url_col, n_buckets, salt_k, order_cols)
+    else:
+        if bucket_expr is None:
+            bucket_expr = F.pmod(F.xxhash64(*df.columns), F.lit(n_buckets)) \
+                .cast("int")
+        prepped = (df.withColumn("__bucket", bucket_expr)
+                   .repartition(n_buckets, "__bucket")
+                   .sortWithinPartitions("__bucket", *order_cols))
+
+    if done:
+        prepped = prepped.filter(~F.col("__bucket").isin([int(b) for b in done]))
+
+    encoder = _make_encoder(out_dir, table_id, chunk_rows, chunk_bytes,
+                            allow_zlib, frozenset(done))
+    metrics = prepped.mapInArrow(encoder, schema=MANIFEST_DDL)
+    metrics.collect()  # manifest rows are tiny (one per chunk); this is the action
+    return read_manifest(spark, out_dir)
+
+
+def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame:
+    mdir = os.path.join(out_dir, "manifest")
+    files = [os.path.join(mdir, f) for f in sorted(os.listdir(mdir))] \
+        if os.path.isdir(mdir) else []
+    if not files:
+        return spark.createDataFrame([], MANIFEST_DDL)
+    return spark.read.parquet(*files)
+
+
+def table_schema(out_dir: str) -> StructType:
+    with open(os.path.join(out_dir, "_schema.json")) as f:
+        return StructType.fromJson(json.load(f))
+
+
+def decode_table(spark: SparkSession, out_dir: str,
+                 columns: list[str] | None = None) -> DataFrame:
+    """Inverse of encode_table: manifest → DataFrame, bit-identical.
+
+    Parallel over chunk files (no shuffle at all); column pruning reaches
+    the chunk container so unselected payloads are never decompressed.
+    """
+    full = table_schema(out_dir)
+    if columns is not None:
+        missing = set(columns) - {f.name for f in full.fields}
+        if missing:
+            raise ValueError(f"unknown columns {sorted(missing)}; "
+                             f"table has {[f.name for f in full.fields]}")
+    fields = [f for f in full.fields if columns is None or f.name in columns]
+    schema = StructType(fields)
+    names = [f.name for f in fields]
+
+    manifest = read_manifest(spark, out_dir)
+    files = sorted(r["file"] for r in manifest.select("file").distinct().collect())
+    if not files:
+        return spark.createDataFrame([], schema)
+    par = max(spark.sparkContext.defaultParallelism, 1)
+    fdf = spark.createDataFrame([(f,) for f in files], "file string") \
+        .repartition(min(len(files), par * 2))
+
+    def reader(batches):
+        for b in batches:
+            for fp in b.column(0).to_pylist():
+                with open(fp, "rb") as fh:
+                    blob = fh.read()
+                yield decode_chunk(blob, columns=names)
+
+    return fdf.mapInArrow(reader, schema=schema)
+
+
+def encode_summary(manifest: DataFrame) -> dict:
+    row = manifest.agg(
+        F.count("*").alias("chunks"),
+        F.countDistinct("bucket").alias("buckets"),
+        F.sum("n_rows").alias("rows"),
+        F.sum("raw_bytes").alias("raw_bytes"),
+        F.sum("encoded_bytes").alias("encoded_bytes"),
+        F.sum("encode_ms").alias("encode_cpu_ms"),
+    ).collect()[0]
+    d = row.asDict()
+    if d["raw_bytes"]:
+        d["ratio"] = d["raw_bytes"] / max(d["encoded_bytes"], 1)
+    return d

@@ -1,0 +1,123 @@
+"""Relational prep operators — the reference's dataflow ops, Catalyst-side.
+
+Everything here is declarative DataFrame API: Catalyst plans it with
+whole-stage codegen, predicate pushdown, and partial aggregation for free
+(SURVEY.md §4.2); the custom codec work stays below, in engine.py.
+
+Reference parity (SURVEY.md §2):
+  meta_project       P1/P2  AvroExtendedMessage.java:46-55, :69-88
+  classify_records   P3     AvroExtendedMessage.java:106-120, RecordType.java:3-5
+  dedup_replays      F1     HourlyBasedPartitioner.java:184-205
+  hour_partition     G1     HourlyBasedPartitioner.java:84-109,
+                            HourlyBasedRecordConsumer.java:125-153
+  salted_bucket      —      the explicit skew-handling the reference lacks
+                            (1 thread/topic, KafkaStreamer.java:31); the
+                            north_rule demands salted url-host partitioning
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HOST_PATTERN = r"^[a-z][a-z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)"
+
+
+def host_of(url: Column | str) -> Column:
+    """Extract the host from a url (empty string when unparseable)."""
+    return F.regexp_extract(F.col(url) if isinstance(url, str) else url,
+                            HOST_PATTERN, 1)
+
+
+def salted_bucket(url: Column | str, n_buckets: int, salt_k: int = 4) -> Column:
+    """Skew-resistant bucket assignment for Common-Crawl url-host zipf skew.
+
+    Host-major grouping maximises compression locality (host-specific
+    vocabulary → FSST/dict/RLE wins), but a hot host (zipfian head) would
+    pin one partition.  So the bucket is ``host_group * salt_k + salt``
+    where the salt spreads each host over ``salt_k`` adjacent buckets,
+    deterministically by full-url hash (no rand(): resume + re-runs must
+    agree).  A 1000-executor job sizes n_buckets to ~2-3× total cores and
+    salt_k to the observed head mass; both stay explicit knobs.
+    """
+    u = F.col(url) if isinstance(url, str) else url
+    n_groups = max(n_buckets // salt_k, 1)
+    host_group = F.pmod(F.xxhash64(host_of(u)), F.lit(n_groups))
+    salt = F.pmod(F.xxhash64(u), F.lit(salt_k))
+    return (host_group * salt_k + salt).cast("int")
+
+
+def hour_partition(df: DataFrame, ts_col: str = "warc_ts") -> DataFrame:
+    """G1: derive the reference's dt=YYYY-MM-DD / hr=HH partition columns.
+
+    The reference routes each record into the writer whose inclusive
+    [HH:00:00.000, HH:59:59.999] window contains its timestamp
+    (HourlyBasedPartitioner.java:88-92); date_trunc('hour') is the same
+    mapping expressed declaratively.
+    """
+    ts = F.col(ts_col)
+    return (df
+            .withColumn("dt", F.date_format(ts, "yyyy-MM-dd"))
+            .withColumn("hr", F.hour(ts).cast("int")))
+
+
+def dedup_replays(df: DataFrame, partition_col: str, offset_col: str) -> DataFrame:
+    """F1: drop replayed/regressed offsets — one row per (partition, offset).
+
+    The reference drops a record when its offset ≤ the last offset already
+    consumed for its Kafka partition (HourlyBasedPartitioner.java:199-202),
+    which in batch form collapses every (partition, offset) replay to a
+    single surviving row.  Window row_number keeps the plan a single
+    shuffle on the dedup key.
+    """
+    from pyspark.sql import Window
+    w = (Window.partitionBy(partition_col, offset_col)
+         .orderBy(F.col(offset_col)))
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn"))
+
+
+def meta_project(df: DataFrame, id_col: str, offset_col: str,
+                 partition_col: str, ts_col: str) -> DataFrame:
+    """P1+P2: prepend the reference's metadata struct, payload shifted right.
+
+    Mirrors AvroExtendedMessage.java:46-55 (struct build) and :69-88
+    (new schema = metadata + original fields).
+    """
+    meta = F.struct(
+        F.col(id_col).cast("string").alias("id"),
+        F.col(offset_col).cast("long").alias("offset"),
+        F.col(partition_col).cast("int").alias("partition"),
+        F.col(ts_col).cast("long").alias("timestamp"),
+    ).alias("metadata")
+    payload = [c for c in df.columns]
+    return df.select(meta, *payload)
+
+
+def classify_records(df: DataFrame, value_col: str,
+                     error_col: str | None = None) -> DataFrame:
+    """P3: RECORD / TOMBSTONE / ERROR routing.
+
+    Tombstone = null value (AvroExtendedMessage.java:116-118); error =
+    the deserializer's synthetic KafkaException marker
+    (AvroSchemaRegistryDeserializer.java:29-42), here any non-null
+    ``error_col``.
+    """
+    c = F.when(F.col(value_col).isNull(), F.lit("TOMBSTONE"))
+    if error_col is not None:
+        c = c.when(F.col(error_col).isNotNull(), F.lit("ERROR"))
+    return df.withColumn("record_type", c.otherwise(F.lit("RECORD")))
+
+
+def prep_for_encode(df: DataFrame, url_col: str, n_buckets: int,
+                    salt_k: int = 4, order_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Full prep: salted bucket → explicit repartition → locality sort.
+
+    One shuffle, keyed by the salted bucket; sortWithinPartitions is a
+    local sort (no extra exchange) that restores host-major locality
+    inside each partition so RLE/FSST/dict see runs.
+    """
+    out = df.withColumn("__bucket", salted_bucket(url_col, n_buckets, salt_k))
+    out = out.repartition(n_buckets, "__bucket")
+    sort_cols = ["__bucket", host_of(url_col)] + [F.col(c) for c in order_cols]
+    return out.sortWithinPartitions(*sort_cols)

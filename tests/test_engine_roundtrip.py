@@ -1,0 +1,149 @@
+"""Engine round-trip + resume + size-gate tests (SURVEY.md §5.2.2-5.2.4).
+
+The north_rule invariants:
+ * decode(encode(df)) == df exactly (byte-identical text per url)
+ * compressed size ≤ the reference-config Parquet (Snappy + dictionary,
+   RecordWriter.java:29-32) of the same DataFrame
+ * a killed run resumes from the chunk manifest and encodes only the
+   missing buckets, final table identical
+"""
+
+import glob
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from dumpster.engine import (decode_table, done_buckets, encode_summary,
+                             encode_table, read_manifest)
+from dumpster.synth import synth_pages
+
+N_ROWS = 4000
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return synth_pages(spark, N_ROWS, seed=42).cache()
+
+
+@pytest.fixture()
+def out_dir(tmp_path):
+    return str(tmp_path / "enc")
+
+
+def _assert_same(df_a, df_b):
+    # exact multiset equality in both directions (binary, ts, nulls included)
+    assert df_a.exceptAll(df_b).count() == 0
+    assert df_b.exceptAll(df_a).count() == 0
+
+
+def test_roundtrip_bit_identical(spark, pages, out_dir):
+    man = encode_table(pages, out_dir, url_col="url", n_buckets=8,
+                       chunk_rows=512)
+    dec = decode_table(spark, out_dir)
+    assert dec.count() == N_ROWS
+    _assert_same(pages, dec)
+    # byte-identical text per url, checked the join way too
+    j = (pages.alias("a").join(dec.alias("b"), "url")
+         .filter(F.col("a.text") != F.col("b.text")))
+    assert j.count() == 0
+
+
+def test_manifest_is_lineage_and_metrics(spark, pages, out_dir):
+    man = encode_table(pages, out_dir, url_col="url", n_buckets=8,
+                       chunk_rows=512)
+    s = encode_summary(man)
+    assert s["rows"] == N_ROWS
+    assert s["buckets"] == 8 and s["chunks"] >= 8
+    assert s["encoded_bytes"] > 0 and s["raw_bytes"] > 0
+    row = man.limit(1).collect()[0]
+    assert row["partition_id"] >= 0 and row["encode_ms"] > 0
+    assert "codec" in row["col_stats"]
+    assert os.path.exists(row["file"])
+
+
+def test_column_pruned_decode(spark, pages, out_dir):
+    encode_table(pages, out_dir, url_col="url", n_buckets=4, chunk_rows=512)
+    two = decode_table(spark, out_dir, columns=["url", "lang"])
+    assert two.columns == ["url", "lang"]
+    _assert_same(pages.select("url", "lang"), two)
+
+
+def test_resume_encodes_only_missing_buckets(spark, pages, out_dir):
+    encode_table(pages, out_dir, url_col="url", n_buckets=8, chunk_rows=512)
+    full_files = set(glob.glob(os.path.join(out_dir, "chunks", "*.dmc")))
+
+    # simulate a crash that lost 3 buckets (manifest is the commit record)
+    lost = sorted(done_buckets(out_dir))[:3]
+    for b in lost:
+        os.remove(os.path.join(out_dir, "manifest", f"b{b:06d}.parquet"))
+        for f in glob.glob(os.path.join(out_dir, "chunks", f"b{b:06d}_*.dmc")):
+            os.remove(f)
+    assert len(done_buckets(out_dir)) == 5
+
+    # pre-resume mtimes of surviving chunk files
+    surviving = {f: os.path.getmtime(f)
+                 for f in glob.glob(os.path.join(out_dir, "chunks", "*.dmc"))}
+
+    man = encode_table(pages, out_dir, url_col="url", n_buckets=8,
+                       chunk_rows=512, resume=True)
+    assert len(done_buckets(out_dir)) == 8
+    # untouched buckets were not re-encoded
+    for f, mt in surviving.items():
+        assert os.path.getmtime(f) == mt, f"resume rewrote completed chunk {f}"
+    assert set(glob.glob(os.path.join(out_dir, "chunks", "*.dmc"))) == full_files
+    _assert_same(pages, decode_table(spark, out_dir))
+
+
+def test_resume_noop_when_complete(spark, pages, out_dir):
+    encode_table(pages, out_dir, url_col="url", n_buckets=4, chunk_rows=512)
+    mtimes = {f: os.path.getmtime(f)
+              for f in glob.glob(os.path.join(out_dir, "*", "*"))}
+    encode_table(pages, out_dir, url_col="url", n_buckets=4, chunk_rows=512,
+                 resume=True)
+    after = {f: os.path.getmtime(f)
+             for f in glob.glob(os.path.join(out_dir, "*", "*"))}
+    assert mtimes == after
+
+
+def test_size_le_reference_parquet(spark, pages, tmp_path):
+    """North_rule size gate: ≤ Spark Parquet written with the reference
+    sink's exact settings (Snappy, dictionary on, 256 MiB row group,
+    64 KiB page — RecordWriter.java:29-32,
+    HourlyBasedRecordConsumer.java:161-162)."""
+    ref = str(tmp_path / "ref_parquet")
+    (pages.coalesce(1).write
+     .option("compression", "snappy")
+     .option("parquet.enable.dictionary", "true")
+     .option("parquet.block.size", str(256 * 1024 * 1024))
+     .option("parquet.page.size", str(64 * 1024))
+     .parquet(ref))
+    ref_bytes = sum(os.path.getsize(f)
+                    for f in glob.glob(os.path.join(ref, "*.parquet")))
+
+    out = str(tmp_path / "enc")
+    man = encode_table(pages, out, url_col="url", n_buckets=4,
+                       chunk_rows=4096)
+    enc_bytes = sum(os.path.getsize(f)
+                    for f in glob.glob(os.path.join(out, "chunks", "*.dmc")))
+    assert enc_bytes <= ref_bytes, (
+        f"encoded {enc_bytes:,}B exceeds reference parquet {ref_bytes:,}B")
+
+
+def test_encode_generic_table_documents(spark, tmp_path):
+    """The engine is schema-generic: driver's documents table round-trips."""
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    out = str(tmp_path / "docs_enc")
+    encode_table(docs, out, bucket_expr=F.pmod(F.xxhash64("doc_id"), F.lit(8)).cast("int"),
+                 n_buckets=8, chunk_rows=256)
+    dec = decode_table(spark, out)
+    _assert_same(docs, dec)
+
+
+def test_synth_deterministic_across_parallelism(spark):
+    a = synth_pages(spark, 500, seed=7, parts=2)
+    b = synth_pages(spark, 500, seed=7, parts=8)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
