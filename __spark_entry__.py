@@ -1,38 +1,456 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship: encode → decode → verify → per-lang report on
+                 /root/testdata/sf0.001 (SURVEY.md §7.5).
+queries()      — one entry per implemented operator (SURVEY.md §2.7 + the
+                 training-data-pipeline family); each takes (spark, sf_dir).
+oracle_sql()   — DuckDB-runnable ANSI SQL equivalents.  Column names and
+                 types are aligned on both sides; non-SQL-expressible ops
+                 (FSST internals, manifest, LSH buckets, sketches) are
+                 rows-only by omission.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from dumpster import dedup, pipeline, simsearch, textops
+from dumpster.engine import decode_table, encode_summary, encode_table
+from dumpster.multimodal import extract_media_meta
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Encode the documents table through the codec engine, decode it back,
+    assert exact equality, and report per-lang doc counts with the engine's
+    compression ledger (SURVEY.md §7.5)."""
+    docs = _t(spark, SF_DEFAULT, "documents")
+    out = tempfile.mkdtemp(prefix="dumpster_entry_")
+    man = encode_table(
+        docs, out,
+        bucket_expr=F.pmod(F.xxhash64("doc_id"), F.lit(8)).cast("int"),
+        n_buckets=8, chunk_rows=4096, table_id="documents_entry")
+    dec = decode_table(spark, out)
+    if docs.exceptAll(dec).count() or dec.exceptAll(docs).count():
+        raise AssertionError("round-trip mismatch: decode(encode(docs)) != docs")
+    s = encode_summary(man)
+    per_lang = dec.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    return (per_lang
+            .withColumn("table_rows", F.lit(int(s["rows"])))
+            .withColumn("raw_bytes", F.lit(int(s["raw_bytes"])))
+            .withColumn("encoded_bytes", F.lit(int(s["encoded_bytes"])))
+            .withColumn("chunks", F.lit(int(s["chunks"])))
+            .orderBy("lang"))
+
+
+# ---------------------------------------------------------------------------
+# codec-semantics + reference-dataflow operators (SURVEY.md §2.7)
+# ---------------------------------------------------------------------------
+
+def q_dict_codes_lang(spark, sf):
+    d = _t(spark, sf, "documents").select("lang").distinct()
+    w = Window.orderBy("lang")
+    return d.select("lang", (F.dense_rank().over(w) - 1)
+                    .cast("long").alias("code"))
+
+
+def q_rle_runs_lang(spark, sf):
+    d = _t(spark, sf, "documents")
+    w_all = Window.orderBy("doc_id")
+    w_lang = Window.partitionBy("lang").orderBy("doc_id")
+    grp = (F.row_number().over(w_all) - F.row_number().over(w_lang))
+    return (d.select("doc_id", "lang", grp.alias("__g"))
+            .groupBy("lang", "__g")
+            .agg(F.min("doc_id").cast("long").alias("run_start"),
+                 F.count("*").cast("long").alias("run_len"))
+            .drop("__g").select("lang", "run_start", "run_len"))
+
+
+def q_for_residuals_ts(spark, sf):
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy()
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return e.select("event_id",
+                    (us - F.min(us).over(w)).cast("long").alias("residual_us"))
+
+
+def q_delta_ts(spark, sf):
+    e = _t(spark, sf, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.orderBy("event_id")
+    return e.select("event_id",
+                    (us - F.lag(us).over(w)).cast("long").alias("delta_us"))
+
+
+def q_hour_partition_events(spark, sf):
+    e = _t(spark, sf, "events").withColumnRenamed("ts", "warc_ts")
+    return (pipeline.hour_partition(e, "warc_ts")
+            .groupBy("dt", F.col("hr").cast("long").alias("hr"))
+            .agg(F.count("*").cast("long").alias("n")))
+
+
+def q_dedup_replays_events(spark, sf):
+    e = _t(spark, sf, "events")
+    base = e.select((F.col("user_id") % 8).cast("long").alias("part"),
+                    F.col("event_id").alias("off"))
+    replay = base.filter(F.col("off") % 50 == 0)
+    deduped = pipeline.dedup_replays(base.unionAll(replay), "part", "off")
+    return deduped.groupBy("part").agg(F.count("*").cast("long").alias("n"))
+
+
+def q_meta_project_events(spark, sf):
+    e = (_t(spark, sf, "events")
+         .select(F.col("event_id"), F.col("event_type"),
+                 (F.col("user_id") % 8).cast("int").alias("part"),
+                 F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms")))
+    m = pipeline.meta_project(e, "event_id", "event_id", "part", "ts_ms")
+    return m.select(F.col("metadata.id").alias("id"),
+                    F.col("metadata.offset").alias("offset"),
+                    F.col("metadata.partition").alias("part"),
+                    F.col("metadata.timestamp").alias("ts_ms"),
+                    "event_type")
+
+
+def q_record_type_routing(spark, sf):
+    e = _t(spark, sf, "events")
+    staged = e.select(
+        F.when(F.col("value") < 2, None).otherwise(F.col("value")).alias("val"),
+        F.when(F.col("event_type") == "error", F.lit("e")).alias("err"))
+    return (pipeline.classify_records(staged, "val", "err")
+            .groupBy("record_type").agg(F.count("*").cast("long").alias("n")))
+
+
+def q_skew_profile_sources(spark, sf):
+    return (_t(spark, sf, "documents")
+            .groupBy(F.col("source").alias("host"))
+            .agg(F.count("*").cast("long").alias("n")))
+
+
+def q_salted_bucket_portable(spark, sf):
+    d = _t(spark, sf, "documents")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+               16, 10).cast("long")
+    return d.select("doc_id", (h % 16).alias("bucket"))
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline: dedup family
+# ---------------------------------------------------------------------------
+
+def _augmented_docs(spark, sf):
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    dups = (d.filter(F.col("doc_id") % 20 == 0)
+            .select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+    return d.unionAll(dups)
+
+
+def q_exact_dup_groups(spark, sf):
+    return dedup.exact_dup_groups(_augmented_docs(spark, sf))
+
+
+def q_ngram_jaccard_pairs(spark, sf):
+    return dedup.ngram_jaccard_pairs(_augmented_docs(spark, sf),
+                                     threshold=0.5, n=3)
+
+
+def q_minhash_signatures(spark, sf):
+    return dedup.minhash_signatures(_t(spark, sf, "documents")
+                                    .select("doc_id", "text"),
+                                    n_bands=8, n=3)
+
+
+def q_minhash_lsh_pairs(spark, sf):
+    return dedup.minhash_lsh_pairs(_augmented_docs(spark, sf), n_bands=8,
+                                   min_bands=2, n=3, max_bucket=10**9)
+
+
+def q_simhash_groups(spark, sf):                      # rows-only (UDF hash)
+    return dedup.simhash_groups(_augmented_docs(spark, sf))
+
+
+def q_doc_fingerprints(spark, sf):                    # rows-only (UDF hash)
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", textops.doc_fingerprint("text").alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline: text analysis
+# ---------------------------------------------------------------------------
+
+def q_lang_id(spark, sf):
+    return textops.lang_id(_t(spark, sf, "documents"))
+
+
+def q_quality_scores(spark, sf):
+    return textops.quality_score(_t(spark, sf, "documents"))
+
+
+def q_token_counts_by_lang(spark, sf):
+    d = _t(spark, sf, "documents")
+    return (d.groupBy("lang")
+            .agg(F.sum(textops.token_count(F.col("text")))
+                 .cast("long").alias("total_tokens"),
+                 F.count("*").cast("long").alias("n_docs")))
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline: similarity search + multimodal
+# ---------------------------------------------------------------------------
+
+def q_ann_topk_cosine(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    return simsearch.brute_topk(emb, query_ids=list(range(10)), k=5)
+
+
+def q_ann_lsh_buckets(spark, sf):                     # rows-only (np planes)
+    return simsearch.lsh_bucket_candidates(_t(spark, sf, "embeddings"),
+                                           n_planes=12, seed=42)
+
+
+def q_multimodal_meta(spark, sf):
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("blob"))
+    return extract_media_meta(d, "doc_id", "blob")
+
+
+# ---------------------------------------------------------------------------
+# engine-level (rows-only: filesystem side effects / codec internals)
+# ---------------------------------------------------------------------------
+
+def q_encode_documents_manifest(spark, sf):
+    docs = _t(spark, sf, "documents")
+    out = tempfile.mkdtemp(prefix="dumpster_q_enc_")
+    man = encode_table(
+        docs, out,
+        bucket_expr=F.pmod(F.xxhash64("doc_id"), F.lit(8)).cast("int"),
+        n_buckets=8, chunk_rows=4096, table_id="documents_q")
+    s = encode_summary(man)
+    return spark.createDataFrame(
+        [(int(s["buckets"]), int(s["chunks"]), int(s["rows"]),
+          int(s["raw_bytes"]), int(s["encoded_bytes"]))],
+        "buckets long, chunks long, rows long, raw_bytes long, encoded_bytes long")
+
+
+def q_roundtrip_zero_mismatch(spark, sf):
+    docs = _t(spark, sf, "documents")
+    out = tempfile.mkdtemp(prefix="dumpster_q_rt_")
+    encode_table(docs, out,
+                 bucket_expr=F.pmod(F.xxhash64("doc_id"), F.lit(8)).cast("int"),
+                 n_buckets=8, chunk_rows=4096, table_id="documents_rt")
+    dec = decode_table(spark, out)
+    a = docs.exceptAll(dec).count()
+    b = dec.exceptAll(docs).count()
+    return spark.createDataFrame([(a, b)],
+                                 "missing_rows long, extra_rows long")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "dict_codes_lang": q_dict_codes_lang,
+        "rle_runs_lang": q_rle_runs_lang,
+        "for_residuals_ts": q_for_residuals_ts,
+        "delta_ts": q_delta_ts,
+        "hour_partition_events": q_hour_partition_events,
+        "dedup_replays_events": q_dedup_replays_events,
+        "meta_project_events": q_meta_project_events,
+        "record_type_routing": q_record_type_routing,
+        "skew_profile_sources": q_skew_profile_sources,
+        "salted_bucket_portable": q_salted_bucket_portable,
+        "exact_dup_groups": q_exact_dup_groups,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash_groups": q_simhash_groups,
+        "doc_fingerprints": q_doc_fingerprints,
+        "lang_id": q_lang_id,
+        "quality_scores": q_quality_scores,
+        "token_counts_by_lang": q_token_counts_by_lang,
+        "ann_topk_cosine": q_ann_topk_cosine,
+        "ann_lsh_buckets": q_ann_lsh_buckets,
+        "multimodal_meta": q_multimodal_meta,
+        "encode_documents_manifest": q_encode_documents_manifest,
+        "roundtrip_zero_mismatch": q_roundtrip_zero_mismatch,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_SHINGLE_CTE = """
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM {src}),
+sh AS (SELECT doc_id, unnest(list_distinct(list_filter(
+         list_transform(t, (x,i) -> CASE WHEN i <= len(t)-2
+              THEN x || ' ' || t[i+1] || ' ' || t[i+2] END),
+         s -> s IS NOT NULL))) AS shingle
+       FROM toks)
+"""
+
+_AUG_CTE = """
+aug AS (SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        WHERE doc_id % 20 = 0)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "dict_codes_lang": """
+            SELECT lang, CAST(dense_rank() OVER (ORDER BY lang) - 1 AS BIGINT) AS code
+            FROM (SELECT DISTINCT lang FROM documents)
+        """,
+        "rle_runs_lang": """
+            WITH o AS (
+              SELECT doc_id, lang,
+                     row_number() OVER (ORDER BY doc_id)
+                   - row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS g
+              FROM documents)
+            SELECT lang, CAST(min(doc_id) AS BIGINT) AS run_start,
+                   CAST(count(*) AS BIGINT) AS run_len
+            FROM o GROUP BY lang, g
+        """,
+        "for_residuals_ts": """
+            SELECT event_id,
+                   CAST(epoch_us(ts) - min(epoch_us(ts)) OVER () AS BIGINT) AS residual_us
+            FROM events
+        """,
+        "delta_ts": """
+            SELECT event_id,
+                   CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER (ORDER BY event_id) AS BIGINT) AS delta_us
+            FROM events
+        """,
+        "hour_partition_events": """
+            SELECT strftime(ts, '%Y-%m-%d') AS dt,
+                   CAST(extract(hour FROM ts) AS BIGINT) AS hr,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        """,
+        "dedup_replays_events": """
+            WITH uni AS (
+              SELECT CAST(user_id % 8 AS BIGINT) AS part, event_id AS off FROM events
+              UNION ALL
+              SELECT CAST(user_id % 8 AS BIGINT), event_id FROM events WHERE event_id % 50 = 0),
+            d AS (SELECT part, off FROM uni GROUP BY part, off)
+            SELECT part, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY part
+        """,
+        "meta_project_events": """
+            SELECT CAST(event_id AS VARCHAR) AS id,
+                   CAST(event_id AS BIGINT) AS offset,
+                   CAST(user_id % 8 AS INTEGER) AS part,
+                   CAST(epoch_ms(ts) AS BIGINT) AS ts_ms,
+                   event_type
+            FROM events
+        """,
+        "record_type_routing": """
+            SELECT CASE WHEN value < 2 THEN 'TOMBSTONE'
+                        WHEN event_type = 'error' THEN 'ERROR'
+                        ELSE 'RECORD' END AS record_type,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1
+        """,
+        "skew_profile_sources": """
+            SELECT source AS host, CAST(count(*) AS BIGINT) AS n
+            FROM documents GROUP BY source
+        """,
+        "salted_bucket_portable": """
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 16 AS bucket
+            FROM documents
+        """,
+        "exact_dup_groups": f"""
+            WITH {_AUG_CTE}
+            SELECT md5(text) AS text_md5, CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(min(doc_id) AS BIGINT) AS keeper
+            FROM aug GROUP BY md5(text) HAVING count(*) > 1
+        """,
+        "ngram_jaccard_pairs": f"""
+            WITH {_AUG_CTE}, {_SHINGLE_CTE.format(src='aug')},
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                             count(*) AS i
+                      FROM sh a JOIN sh b
+                        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                      GROUP BY a.doc_id, b.doc_id)
+            SELECT id_a, id_b,
+                   round(i / (sa.n_sh + sb.n_sh - i), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE round(i / (sa.n_sh + sb.n_sh - i), 6) >= 0.5
+        """,
+        "minhash_signatures": f"""
+            WITH {_SHINGLE_CTE.format(src='documents')},
+            bands(band) AS (VALUES (0),(1),(2),(3),(4),(5),(6),(7))
+            SELECT doc_id, band,
+                   min(md5(CAST(band AS VARCHAR) || '|' || shingle)) AS sig
+            FROM sh CROSS JOIN bands GROUP BY doc_id, band
+        """,
+        "minhash_lsh_pairs": f"""
+            WITH {_AUG_CTE}, {_SHINGLE_CTE.format(src='aug')},
+            bands(band) AS (VALUES (0),(1),(2),(3),(4),(5),(6),(7)),
+            sig AS (SELECT doc_id, band,
+                           min(md5(CAST(band AS VARCHAR) || '|' || shingle)) AS sig
+                    FROM sh CROSS JOIN bands GROUP BY doc_id, band)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(count(*) AS BIGINT) AS bands
+            FROM sig a JOIN sig b
+              ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            HAVING count(*) >= 2
+        """,
+        "lang_id": textops.lang_id_sql(),
+        "quality_scores": """
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   round((length(text) - (len(string_split(text, ' ')) - 1))
+                         / len(string_split(text, ' ')), 4) AS avg_token_len,
+                   CAST(CASE WHEN len(string_split(text, ' ')) BETWEEN 5 AND 100000
+                             AND (length(text) - (len(string_split(text, ' ')) - 1))
+                                 / len(string_split(text, ' ')) BETWEEN 2.0 AND 14.0
+                        THEN 1 ELSE 0 END AS INTEGER) AS keep
+            FROM documents
+        """,
+        "token_counts_by_lang": """
+            SELECT lang,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY lang
+        """,
+        "ann_topk_cosine": """
+            WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+                       FROM embeddings WHERE vec_id < 10),
+            s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 6) AS sim
+                  FROM embeddings e CROSS JOIN q
+                  WHERE e.vec_id != q.query_id),
+            r AS (SELECT *, row_number() OVER (
+                     PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+                  FROM s)
+            SELECT query_id, neighbor_id, sim, CAST(rnk AS BIGINT) AS rnk
+            FROM r WHERE rnk <= 5
+        """,
+        "multimodal_meta": """
+            SELECT doc_id AS id,
+                   CAST(length(text) AS BIGINT) AS n_bytes,
+                   lower(hex(substr(text, 1, 4))) AS magic,
+                   CASE WHEN substr(text, 1, 4) IN ('<htm', '<!DO') THEN 'html'
+                        ELSE 'bin' END AS format,
+                   substr(text, 1, 4) AS prefix
+            FROM documents
+        """,
+        "roundtrip_zero_mismatch": """
+            SELECT CAST(0 AS BIGINT) AS missing_rows, CAST(0 AS BIGINT) AS extra_rows
+        """,
+    }

@@ -1,0 +1,128 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+The large-scale training-data dedup family, expressed Spark-first:
+
+* exact: hash-groupBy — one shuffle on the text hash, partial-agg pushed
+  map-side by Catalyst.
+* shingling stays JVM-side via ``F.transform`` with an index lambda (no
+  Python); the same construction exists verbatim in DuckDB list lambdas,
+  which is what makes the oracle parity exact.
+* MinHash: per-band min over portable md5-derived shingle hashes; LSH
+  candidate generation is a self-equijoin on (band, signature) — i.e. the
+  classic band-bucket join, which Spark shuffles on the bucket key (the
+  join key IS the LSH bucket).
+* SimHash: 64-bit signature via Arrow-batched pandas UDF (textops);
+  near-dup candidates = equal signatures (hamming-0) or banded prefixes.
+
+Scale notes: at 10^12 docs the shingle explode is the big intermediate —
+it is a straight flatMap (no shuffle), and the band join shuffles only
+(doc_id × n_bands) rows of fixed width.  Hot buckets (boilerplate text)
+are the skew risk; cap candidate bucket size with a count filter before
+the pair join (``max_bucket``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical documents (md5 keyed), smallest id kept."""
+    return (df.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+            .agg(F.count("*").alias("cnt"),
+                 F.min(id_col).alias("keeper"))
+            .filter(F.col("cnt") > 1))
+
+
+def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+             n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document, JVM-side only."""
+    toks = F.split(F.col(text_col), " ")
+    sh = F.transform(
+        toks,
+        lambda x, i: F.when(
+            i <= F.size(toks) - n,
+            F.concat_ws(" ", *[F.element_at(toks, i + j + 1)
+                               for j in range(n)])))
+    return (df.select(F.col(id_col).alias("doc_id"),
+                      F.explode(F.array_distinct(F.filter(
+                          sh, lambda s: s.isNotNull()))).alias("shingle")))
+
+
+def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
+                        n: int = 3) -> DataFrame:
+    """Candidate near-dup pairs by word-shingle Jaccard ≥ threshold.
+
+    Self-equijoin on the shingle (only docs sharing ≥1 shingle pair up),
+    then |A∩B| / (|A|+|B|−|A∩B|).
+    """
+    sh = shingles(df, n=n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("id_a"),
+                      F.col("b.doc_id").alias("id_b"))
+             .agg(F.count("*").alias("inter")))
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb"))
+    return (inter.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("jaccard", F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+def minhash_signatures(df: DataFrame, n_bands: int = 8,
+                       n: int = 3) -> DataFrame:
+    """Per-(doc, band) minhash: min md5(band || shingle) — portable hash."""
+    sh = shingles(df, n=n)
+    bands = F.explode(F.array(*[F.lit(i) for i in range(n_bands)])).alias("band")
+    exploded = sh.select("doc_id", "shingle", bands)
+    return (exploded
+            .groupBy("doc_id", "band")
+            .agg(F.min(F.md5(F.concat(F.col("band").cast("string"),
+                                      F.lit("|"), F.col("shingle"))))
+                 .alias("sig")))
+
+
+def minhash_lsh_pairs(df: DataFrame, n_bands: int = 8, min_bands: int = 2,
+                      n: int = 3, max_bucket: int = 1000) -> DataFrame:
+    """LSH candidate pairs: docs agreeing on ≥ min_bands band signatures.
+
+    ``max_bucket`` drops degenerate buckets (boilerplate collisions) before
+    the pair join — the skew guard that matters at crawl scale.
+    """
+    sig = minhash_signatures(df, n_bands, n)
+    bucket_sizes = sig.groupBy("band", "sig").agg(F.count("*").alias("bs"))
+    sig = (sig.join(bucket_sizes, ["band", "sig"])
+           .filter(F.col("bs") <= max_bucket).drop("bs"))
+    a, b = sig.alias("a"), sig.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.sig") == F.col("b.sig"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("id_a"),
+                     F.col("b.doc_id").alias("id_b"))
+            .agg(F.count("*").alias("bands"))
+            .filter(F.col("bands") >= min_bands))
+
+
+def simhash_groups(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Docs sharing an identical 64-bit simhash (hamming-0 near-dups)."""
+    from .textops import simhash64
+    sig = df.select(F.col(id_col).alias("doc_id"),
+                    simhash64(F.col(text_col)).alias("simhash"))
+    return (sig.groupBy("simhash")
+            .agg(F.count("*").alias("cnt"), F.min("doc_id").alias("keeper"))
+            .filter(F.col("cnt") > 1))
+
+
+def dedup_keep_first(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup that keeps the smallest-id representative per text."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn"))

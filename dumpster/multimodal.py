@@ -1,0 +1,106 @@
+"""Multimodal column plumbing: opaque binary media + typed metadata.
+
+Images/audio/video ride as ``binary`` columns exactly like ``html`` does in
+the pages table.  The Spark-side plumbing — schema, partition-parallel
+Arrow batches, UDF signatures, batch shapes — is real and tested; the
+actual pixel/sample decoding is stubbed behind ``decode_media`` because no
+image/audio libraries ship in this container (NotImplementedError, or a
+deterministic fake feature vector with ``fake=True``).
+
+The metadata extractor sniffs container formats from magic bytes, the way
+a crawl pipeline would route media before decode fan-out.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql import DataFrame
+
+MEDIA_META_DDL = ("id long, n_bytes long, magic string, format string, "
+                  "prefix string")
+
+_MAGICS = [
+    (b"\x89PNG", "png"), (b"\xff\xd8\xff", "jpeg"), (b"GIF8", "gif"),
+    (b"RIFF", "riff"), (b"\x00\x00\x00", "mp4ish"), (b"ID3", "mp3"),
+    (b"<htm", "html"), (b"<!DO", "html"),
+]
+
+
+def sniff_format(prefix: bytes) -> str:
+    for magic, name in _MAGICS:
+        if prefix.startswith(magic):
+            return name
+    return "bin"
+
+
+def extract_media_meta(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
+    """Typed metadata per media blob — vectorized Arrow batches, the same
+    partition-parallel shape a real decode fan-out would use."""
+
+    def meta(batches):
+        for batch in batches:
+            ids = batch.column(0)
+            blobs = batch.column(1)
+            n = batch.num_rows
+            n_bytes, magic, fmt, prefix = [], [], [], []
+            for b in blobs.to_pylist():
+                if b is None:
+                    n_bytes.append(None); magic.append(None)
+                    fmt.append(None); prefix.append(None)
+                    continue
+                n_bytes.append(len(b))
+                head = bytes(b[:4])
+                magic.append(head.hex())
+                fmt.append(sniff_format(head))
+                prefix.append(head.decode("utf-8", "replace"))
+            yield pa.RecordBatch.from_arrays(
+                [ids.cast(pa.int64()), pa.array(n_bytes, type=pa.int64()),
+                 pa.array(magic, type=pa.string()),
+                 pa.array(fmt, type=pa.string()),
+                 pa.array(prefix, type=pa.string())],
+                names=["id", "n_bytes", "magic", "format", "prefix"])
+
+    return df.select(id_col, bin_col).mapInArrow(meta, MEDIA_META_DDL)
+
+
+def decode_media(blob: bytes, kind: str = "image", *, fake: bool = False,
+                 dim: int = 8) -> np.ndarray:
+    """Decode a media blob to features.
+
+    STUB: real decoding needs image/audio libraries that are not in this
+    container.  ``fake=True`` returns a deterministic hash-derived feature
+    vector so the downstream plumbing (batching, schema, ANN handoff) is
+    testable end-to-end.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "media decode requires PIL/ffmpeg-class libraries; "
+            "run with fake=True for deterministic plumbing tests")
+    h = np.frombuffer(blob[:dim * 8].ljust(dim * 8, b"\0"), dtype=np.uint64)
+    return (h % np.uint64(10_000)).astype(np.float32) / 10_000.0
+
+
+def media_features(df: DataFrame, id_col: str, bin_col: str,
+                   dim: int = 8, fake: bool = True) -> DataFrame:
+    """Feature-extraction fan-out: binary → fixed-dim float vector.
+
+    Partition-parallel mapInArrow; at scale this is where the GPU/decoder
+    pool would sit — the Spark plumbing (schema out: id + array<float>)
+    stays identical.
+    """
+    def feats(batches):
+        for batch in batches:
+            ids, blobs = batch.column(0), batch.column(1)
+            out = []
+            for b in blobs.to_pylist():
+                out.append(None if b is None
+                           else decode_media(bytes(b), fake=fake, dim=dim).tolist())
+            yield pa.RecordBatch.from_arrays(
+                [ids.cast(pa.int64()),
+                 pa.array(out, type=pa.list_(pa.float32()))],
+                names=["id", "features"])
+
+    return df.select(id_col, bin_col).mapInArrow(
+        feats, "id long, features array<float>")

@@ -1,0 +1,105 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, per the scale playbook:
+
+* ``brute_topk`` — exact cosine top-k.  The query set is small by
+  construction, so it ships to every task as a broadcast NumPy matrix and
+  each Arrow batch of the big side is one vectorized matmul
+  (batch × dim) @ (dim × n_queries).  No shuffle on the 10^12-row side at
+  all; only the final per-query top-k reduction shuffles k×queries rows.
+* ``lsh_bucket_candidates`` — random-hyperplane LSH: deterministic
+  hash-seeded hyperplanes, sign-bit bucket per vector, candidates =
+  bucket-mates.  The bucket id is the join/groupBy key, which is exactly
+  the shuffle key — IVF-style pruning for the scale path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_matrix(arr: pa.Array) -> np.ndarray:
+    a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    flat = np.asarray(a.values, dtype=np.float64)
+    n = len(a)
+    return flat.reshape(n, -1) if n else flat.reshape(0, 0)
+
+
+def brute_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k of every query against the full table.
+
+    Returns (query_id, neighbor_id, sim) with sim rounded to 6 dp for
+    engine-portable comparison; self-matches excluded; ties broken by
+    neighbor_id.
+    """
+    qrows = (emb.filter(F.col(id_col).isin(query_ids))
+             .select(id_col, vec_col).collect())
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.array([r[1] for r in qrows], dtype=np.float64)
+    qnorm = np.linalg.norm(qmat, axis=1)
+    qnorm[qnorm == 0] = 1.0
+
+    def score(batches):
+        for batch in batches:
+            ids = batch.column(0).to_numpy()
+            mat = _as_matrix(batch.column(1))
+            if len(ids) == 0:
+                continue
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            sims = (mat @ qmat.T) / norms[:, None] / qnorm[None, :]
+            n, q = sims.shape
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(np.repeat(qids, n), type=pa.int64()),
+                 pa.array(np.tile(ids, q), type=pa.int64()),
+                 pa.array(np.round(sims.T.ravel(), 6), type=pa.float64())],
+                names=["query_id", "neighbor_id", "sim"])
+
+    scored = (emb.select(id_col, vec_col)
+              .mapInArrow(score, "query_id long, neighbor_id long, sim double")
+              .filter(F.col("query_id") != F.col("neighbor_id")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", "neighbor_id", "sim",
+                    F.col("rnk").cast("long").alias("rnk")))
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes (no wall-clock, no rand())."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_bucket_candidates(emb: DataFrame, n_planes: int = 12, seed: int = 42,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """Sign-bit LSH bucketing; returns (bucket, n_vectors, member_min)."""
+    first = emb.select(F.size(vec_col).alias("d")).first()
+    planes = hyperplanes(int(first["d"]), n_planes, seed)
+
+    def bucketize(batches):
+        for batch in batches:
+            ids = batch.column(0).to_numpy()
+            mat = _as_matrix(batch.column(1))
+            if len(ids) == 0:
+                continue
+            signs = (mat @ planes.T) >= 0
+            weights = (1 << np.arange(n_planes, dtype=np.int64))
+            buckets = (signs.astype(np.int64) * weights).sum(axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, type=pa.int64()),
+                 pa.array(buckets, type=pa.int64())],
+                names=["vec_id", "bucket"])
+
+    bucketed = emb.select(id_col, vec_col).mapInArrow(
+        bucketize, "vec_id long, bucket long")
+    return (bucketed.groupBy("bucket")
+            .agg(F.count("*").alias("n_vectors"),
+                 F.min("vec_id").alias("member_min")))

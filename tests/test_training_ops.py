@@ -1,0 +1,121 @@
+"""Unit semantics for the training-data-pipeline operators."""
+
+import numpy as np
+import pytest
+from pyspark.sql import Row, functions as F
+
+from dumpster import dedup, simsearch, textops
+from dumpster.multimodal import decode_media, extract_media_meta, media_features
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+        Row(doc_id=2, text="the quick brown fox jumps over the lazy dog"),  # exact dup
+        Row(doc_id=3, text="the quick brown fox jumps over a sleepy dog"),  # near dup
+        Row(doc_id=4, text="completely different words entirely here now"),
+        Row(doc_id=5, text="la casa de los el una papel que"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_exact_dup_groups(docs):
+    g = dedup.exact_dup_groups(docs).collect()
+    assert len(g) == 1
+    assert g[0]["cnt"] == 2 and g[0]["keeper"] == 1
+
+
+def test_dedup_keep_first(docs):
+    out = dedup.dedup_keep_first(docs)
+    assert out.count() == 4
+    assert out.filter(F.col("doc_id") == 2).count() == 0
+
+
+def test_shingles_are_distinct_ngrams(docs):
+    sh = dedup.shingles(docs.filter(F.col("doc_id") == 1), n=3).collect()
+    got = {r["shingle"] for r in sh}
+    assert "the quick brown" in got and "the lazy dog" in got
+    assert len(got) == 7  # 9 tokens → 7 shingles, all distinct here
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert got[(1, 2)] == 1.0          # exact dup
+    assert (1, 3) in got and got[(1, 3)] < 1.0
+    assert (1, 4) not in got
+
+
+def test_minhash_lsh_pairs(docs):
+    pairs = dedup.minhash_lsh_pairs(docs, n_bands=8, min_bands=2).collect()
+    ids = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in ids               # identical docs agree on all bands
+    assert all(a < b for a, b in ids)
+
+
+def test_simhash_identical_texts_collide(docs):
+    g = dedup.simhash_groups(docs).collect()
+    assert any(r["cnt"] >= 2 and r["keeper"] == 1 for r in g)
+
+
+def test_lang_id_marker_words(docs):
+    out = {r["doc_id"]: r["lang_guess"]
+           for r in textops.lang_id(docs).collect()}
+    assert out[1] == "en"
+    assert out[5] in ("es", "pt")      # spanish markers dominate
+    assert out[4] == "und"
+
+
+def test_quality_score_shape(docs):
+    q = textops.quality_score(docs).collect()
+    r1 = next(r for r in q if r["doc_id"] == 1)
+    assert r1["n_tokens"] == 9 and r1["keep"] == 1
+
+
+def test_fingerprint_deterministic(spark, docs):
+    a = {r["doc_id"]: r["fp"] for r in
+         docs.select("doc_id", textops.doc_fingerprint("text").alias("fp")).collect()}
+    assert a[1] == a[2] and a[1] != a[3]
+
+
+def test_brute_topk_cosine(spark):
+    rows = [Row(vec_id=i, embedding=[float(i == j) for j in range(4)])
+            for i in range(4)]
+    rows.append(Row(vec_id=4, embedding=[1.0, 0.001, 0.0, 0.0]))
+    emb = spark.createDataFrame(rows)
+    out = simsearch.brute_topk(emb, query_ids=[0], k=2)
+    got = [(r["neighbor_id"], r["sim"]) for r in out.collect()]
+    assert got[0][0] == 4 and got[0][1] > 0.99   # near-parallel vector first
+
+
+def test_lsh_buckets_cover_all_vectors(spark):
+    rng = np.random.default_rng(3)
+    rows = [Row(vec_id=i, embedding=rng.normal(size=8).tolist())
+            for i in range(50)]
+    emb = spark.createDataFrame(rows)
+    out = simsearch.lsh_bucket_candidates(emb, n_planes=4, seed=1)
+    assert out.agg(F.sum("n_vectors")).collect()[0][0] == 50
+
+
+def test_media_meta_sniffs_magic(spark):
+    rows = [Row(id=1, blob=b"\x89PNG\r\n" + b"x" * 10),
+            Row(id=2, blob=b"\xff\xd8\xff\xe0junk"),
+            Row(id=3, blob=b"<html><body>"),
+            Row(id=4, blob=None)]
+    df = spark.createDataFrame(rows, "id long, blob binary")
+    out = {r["id"]: (r["format"], r["n_bytes"])
+           for r in extract_media_meta(df, "id", "blob").collect()}
+    assert out[1][0] == "png" and out[2][0] == "jpeg" and out[3][0] == "html"
+    assert out[4] == (None, None)
+
+
+def test_media_decode_stub_contract(spark):
+    with pytest.raises(NotImplementedError):
+        decode_media(b"abc")
+    v = decode_media(b"abcdefgh" * 8, fake=True, dim=8)
+    assert v.shape == (8,) and v.dtype == np.float32
+    rows = [Row(id=1, blob=b"\x01" * 64), Row(id=2, blob=b"\x02" * 64)]
+    df = spark.createDataFrame(rows, "id long, blob binary")
+    feats = media_features(df, "id", "blob", dim=8).collect()
+    assert all(len(r["features"]) == 8 for r in feats)
