@@ -245,6 +245,30 @@ def q_encode_documents_manifest(spark, sf):
         "buckets long, chunks long, rows long, raw_bytes long, encoded_bytes long")
 
 
+def q_codec_selection_report(spark, sf):
+    """Per-column chosen codec + byte ledger — the auto-selector's decisions
+    made visible (rows-only: selector policy, not SQL-expressible)."""
+    import json as _json
+    docs = _t(spark, sf, "documents")
+    out = tempfile.mkdtemp(prefix="dumpster_q_sel_")
+    man = encode_table(
+        docs, out,
+        bucket_expr=F.pmod(F.xxhash64("doc_id"), F.lit(8)).cast("int"),
+        n_buckets=8, chunk_rows=4096, table_id="documents_sel")
+    rows = []
+    for r in man.collect():
+        for cs in _json.loads(r["col_stats"]):
+            rows.append((cs["column"], cs["codec"], bool(cs["zlib"]),
+                         int(cs["raw_bytes"]), int(cs["encoded_bytes"])))
+    df = spark.createDataFrame(
+        rows, "column string, codec string, zlib boolean, "
+              "raw_bytes long, encoded_bytes long")
+    return (df.groupBy("column", "codec", "zlib")
+            .agg(F.sum("raw_bytes").alias("raw_bytes"),
+                 F.sum("encoded_bytes").alias("encoded_bytes"),
+                 F.count("*").alias("chunks")))
+
+
 def q_roundtrip_zero_mismatch(spark, sf):
     docs = _t(spark, sf, "documents")
     out = tempfile.mkdtemp(prefix="dumpster_q_rt_")
@@ -283,6 +307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "multimodal_meta": q_multimodal_meta,
         "encode_documents_manifest": q_encode_documents_manifest,
+        "codec_selection_report": q_codec_selection_report,
         "roundtrip_zero_mismatch": q_roundtrip_zero_mismatch,
     }
 
@@ -391,17 +416,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_signatures": f"""
             WITH {_SHINGLE_CTE.format(src='documents')},
+            hs AS (SELECT doc_id,
+                          CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT)
+                              % 1073741789 AS h
+                   FROM sh),
             bands(band) AS (VALUES (0),(1),(2),(3),(4),(5),(6),(7))
             SELECT doc_id, band,
-                   min(md5(CAST(band AS VARCHAR) || '|' || shingle)) AS sig
-            FROM sh CROSS JOIN bands GROUP BY doc_id, band
+                   min(((band * 2 + 1) * h + band) % 1073741789) AS sig
+            FROM hs CROSS JOIN bands GROUP BY doc_id, band
         """,
         "minhash_lsh_pairs": f"""
             WITH {_AUG_CTE}, {_SHINGLE_CTE.format(src='aug')},
+            hs AS (SELECT doc_id,
+                          CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT)
+                              % 1073741789 AS h
+                   FROM sh),
             bands(band) AS (VALUES (0),(1),(2),(3),(4),(5),(6),(7)),
             sig AS (SELECT doc_id, band,
-                           min(md5(CAST(band AS VARCHAR) || '|' || shingle)) AS sig
-                    FROM sh CROSS JOIN bands GROUP BY doc_id, band)
+                           min(((band * 2 + 1) * h + band) % 1073741789) AS sig
+                    FROM hs CROSS JOIN bands GROUP BY doc_id, band)
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                    CAST(count(*) AS BIGINT) AS bands
             FROM sig a JOIN sig b

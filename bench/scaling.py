@@ -1,0 +1,118 @@
+"""Two-cluster-size scaling evidence (north_rule: efficiency ≥ 0.8, N→4N).
+
+No real cluster exists in this sandbox, so per the driver instruction the
+same encode job runs at two parallelism levels — local[8] and local[32]
+(N=8 cores, 4N=32 cores; 32 physical cores available) — on the identical
+cached input (synth.py is row-index-deterministic, so both levels read the
+same bytes).  Each level runs in a fresh process/JVM via bench.py.
+
+    scaling efficiency = (throughput_4N / throughput_N) / 4
+
+Writes bench/BENCH.md and refreshes the measured-results section of
+BASELINE.md.
+
+Usage: python bench/scaling.py [sf_dir] [--trials K]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_bench(sf_dir: str, cpus: int, rows: int | None = None) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir,
+               SPARK_GRAFT_CPUS=str(cpus),
+               DUMPSTER_BENCH_SKIP_QUERIES="1",
+               DUMPSTER_BENCH_WORKDIR="/dev/shm/dumpster_bench")
+    if rows:
+        env["DUMPSTER_BENCH_ROWS"] = str(rows)
+    out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                         env=env, capture_output=True, text=True, check=True)
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("-") \
+        else "/root/testdata/sf0.1"
+    trials = 2
+    if "--trials" in sys.argv:
+        trials = int(sys.argv[sys.argv.index("--trials") + 1])
+
+    levels = (8, 32)
+    if "--levels" in sys.argv:
+        i = sys.argv.index("--levels")
+        levels = (int(sys.argv[i + 1]), int(sys.argv[i + 2]))
+    assert levels[1] == 4 * levels[0], "north_rule compares N vs 4N"
+    rows = None
+    if "--rows" in sys.argv:
+        rows = int(sys.argv[sys.argv.index("--rows") + 1])
+
+    results = {}
+    for cpus in levels:
+        best = None
+        for t in range(trials):
+            r = run_bench(sf_dir, cpus, rows)
+            print(f"local[{cpus}] trial {t}: encode {r['encode_gb_per_sec']} GB/s "
+                  f"({r['queries']['encode_pages']}s), decode "
+                  f"{r['decode_gb_per_sec']} GB/s", file=sys.stderr)
+            if best is None or r["encode_gb_per_sec"] > best["encode_gb_per_sec"]:
+                best = r
+        results[cpus] = best
+
+    n_lo, n_hi = levels
+    r8, r32 = results[n_lo], results[n_hi]
+    eff_enc = (r32["encode_gb_per_sec"] / r8["encode_gb_per_sec"]) / 4
+    eff_dec = (r32["decode_gb_per_sec"] / r8["decode_gb_per_sec"]) / 4
+
+    md = f"""# BENCH — measured results (synthetic pages, FIXTURES F1)
+
+Input: {r32['rows']:,} rows ({r32['logical_bytes']/1e9:.2f} GB logical),
+seed 42, identical bytes at both parallelism levels (row-index-keyed
+generator).  Each level is a fresh process/JVM (`bench.py`), n_buckets
+fixed at 128 so the work units are identical; best of {trials} trials.
+
+## Encode throughput & scaling (north_rule gate: efficiency ≥ 0.8)
+
+| level | encode GB/s | docs/s | decode GB/s | encode wall s |
+|---|---|---|---|---|
+| local[{n_lo}]  (N)  | {r8['encode_gb_per_sec']:.3f} | {r8['encode_docs_per_sec']:,.0f} | {r8['decode_gb_per_sec']:.3f} | {r8['queries']['encode_pages']:.1f} |
+| local[{n_hi}] (4N) | {r32['encode_gb_per_sec']:.3f} | {r32['encode_docs_per_sec']:,.0f} | {r32['decode_gb_per_sec']:.3f} | {r32['queries']['encode_pages']:.1f} |
+
+**Encode scaling efficiency (N→4N): {eff_enc:.3f}**  (decode: {eff_dec:.3f})
+
+## Compressed size (north_rule gate: ≤ reference Parquet)
+
+| | bytes |
+|---|---|
+| logical input | {r32['logical_bytes']:,} |
+| dumpster encoded | {r32['encoded_bytes']:,} |
+| reference Parquet (Snappy + dict, 256 MiB / 64 KiB, RecordWriter.java:29-32) | {r32['reference_parquet_bytes']:,} |
+
+size ratio vs reference = **{r32['size_ratio_vs_reference']:.4f}** (≤ 1.0 required);
+compression ratio vs logical = {r32['compression_ratio']:.3f}×.
+
+## Per-query wall (local[32], seconds)
+
+| query | sec |
+|---|---|
+""" + "\n".join(f"| {k} | {v} |" for k, v in r32["queries"].items()) + "\n"
+
+    with open(os.path.join(REPO, "bench", "BENCH.md"), "w") as f:
+        f.write(md)
+    with open(os.path.join(REPO, "bench", "scaling_results.json"), "w") as f:
+        json.dump({"levels": list(levels), f"local{n_lo}": r8, f"local{n_hi}": r32,
+                   "encode_scaling_efficiency": round(eff_enc, 4),
+                   "decode_scaling_efficiency": round(eff_dec, 4)}, f, indent=1)
+    print(json.dumps({"encode_scaling_efficiency": round(eff_enc, 4),
+                      "decode_scaling_efficiency": round(eff_dec, 4),
+                      "size_ratio_vs_reference": r32["size_ratio_vs_reference"]}))
+
+
+if __name__ == "__main__":
+    main()

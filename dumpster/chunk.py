@@ -35,6 +35,7 @@ import pyarrow as pa
 
 from .codecs import (CODEC_NAMES, decode_fixed, decode_var,
                      select_encode_fixed, select_encode_var, stable_seed)
+from .codecs import PLAIN as PLAIN_ID
 
 MAGIC = b"DMC1"
 
@@ -68,25 +69,46 @@ def _dense_and_validity(arr: pa.Array) -> tuple[pa.Array, np.ndarray | None]:
     return arr.drop_null(), valid
 
 
-def _var_parts(arr: pa.Array) -> tuple[bytes, np.ndarray]:
+def _var_parts(arr: pa.Array):
+    """(data, offsets) in Arrow layout; data is a zero-copy memoryview —
+    only codecs that truly need a bytes object (FSST's replace chain)
+    materialise one."""
     a = arr.cast(pa.large_binary())
     bufs = a.buffers()
     offs = np.frombuffer(bufs[1], dtype=np.int64,
                          count=len(a) + 1, offset=a.offset * 8)
     start, end = int(offs[0]), int(offs[-1])
-    data = bytes(bufs[2][start:end]) if bufs[2] is not None else b""
+    data = memoryview(bufs[2])[start:end] if bufs[2] is not None else memoryview(b"")
     return data, (offs - start)
 
 
-def encode_chunk(batch: pa.RecordBatch, *, table_id: str = "t",
-                 bucket: int = 0, chunk_seq: int = 0,
-                 allow_zlib: bool = True) -> tuple[bytes, list[dict]]:
-    """Encode one RecordBatch → (container bytes, per-column stats)."""
+def _pieces(payload) -> list:
+    return payload if isinstance(payload, list) else [payload]
+
+
+def encode_chunk_pieces(batch: pa.RecordBatch, *, table_id: str = "t",
+                        bucket: int = 0, chunk_seq: int = 0,
+                        allow_zlib: bool = True,
+                        plain_only: bool = False) -> tuple[list, list[dict]]:
+    """Encode one RecordBatch → (list of buffers, per-column stats).
+
+    The container is produced as a list of buffers (zero-copy where the
+    codec allows, e.g. PLAIN passthrough of binary columns) with the CRC
+    computed incrementally — the hot path never concatenates the multi-MB
+    payloads into one bytes object; the caller streams the pieces to disk.
+    """
     n_rows = batch.num_rows
     schema_bytes = batch.schema.serialize().to_pybytes()
-    body = bytearray()
-    body += struct.pack("<I", len(schema_bytes)) + schema_bytes
-    body += struct.pack("<IQ", batch.num_columns, n_rows)
+    out: list = [MAGIC]
+    crc = 0
+
+    def put(piece):
+        nonlocal crc
+        out.append(piece)
+        crc = zlib.crc32(piece, crc)
+
+    put(struct.pack("<I", len(schema_bytes)) + schema_bytes)
+    put(struct.pack("<IQ", batch.num_columns, n_rows))
     stats = []
     for name, col in zip(batch.schema.names, batch.columns):
         arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
@@ -96,28 +118,53 @@ def encode_chunk(batch: pa.RecordBatch, *, table_id: str = "t",
         raw_bytes = _raw_size(dense, kind)
         if kind == _KIND_VAR:
             data, offsets = _var_parts(dense)
-            codec, zl, payload, meta, _ = select_encode_var(
-                data, offsets, seed, allow_zlib)
+            if plain_only:
+                from .codecs.plain import encode_plain_var
+                codec, zl = PLAIN_ID, False
+                payload, meta = encode_plain_var(data, offsets)
+            else:
+                codec, zl, payload, meta, _ = select_encode_var(
+                    data, offsets, seed, allow_zlib)
         else:
             if kind == _KIND_INT:
                 vals = np.asarray(dense.cast(_int64_view_type(arr.type)))
             else:
                 vals = np.asarray(dense)
-            codec, zl, payload, meta, _ = select_encode_fixed(
-                vals, seed, allow_zlib)
+            if plain_only:
+                from .codecs.plain import encode_plain_fixed
+                codec, zl = PLAIN_ID, False
+                payload, meta = encode_plain_fixed(vals)
+            else:
+                codec, zl, payload, meta, _ = select_encode_fixed(
+                    vals, seed, allow_zlib)
+        pieces = _pieces(payload)
+        plen = sum(len(p) for p in pieces)
         vbm = np.packbits(valid, bitorder="little").tobytes() if valid is not None else b""
         desc = {"name": name, "codec": codec, "zlib": bool(zl), "kind": kind,
                 "meta": meta, "n_valid": len(dense)}
         desc_b = json.dumps(desc, separators=(",", ":")).encode()
-        body += struct.pack("<I", len(desc_b)) + desc_b
-        body += struct.pack("<I", len(vbm)) + vbm
-        body += struct.pack("<Q", len(payload)) + payload
+        put(struct.pack("<I", len(desc_b)) + desc_b)
+        put(struct.pack("<I", len(vbm)) + vbm)
+        put(struct.pack("<Q", plen))
+        for p in pieces:
+            put(p)
         stats.append({"column": name, "codec": CODEC_NAMES[codec],
                       "zlib": bool(zl), "raw_bytes": raw_bytes,
-                      "encoded_bytes": len(payload) + len(desc_b) + len(vbm) + 16,
+                      "encoded_bytes": plen + len(desc_b) + len(vbm) + 16,
                       "n_nulls": int(arr.null_count)})
-    crc = zlib.crc32(bytes(body)) & 0xFFFFFFFF
-    return MAGIC + bytes(body) + struct.pack("<I", crc), stats
+    out.append(struct.pack("<I", crc & 0xFFFFFFFF))
+    return out, stats
+
+
+def encode_chunk(batch: pa.RecordBatch, *, table_id: str = "t",
+                 bucket: int = 0, chunk_seq: int = 0,
+                 allow_zlib: bool = True) -> tuple[bytes, list[dict]]:
+    """Encode one RecordBatch → (container bytes, per-column stats)."""
+    pieces, stats = encode_chunk_pieces(
+        batch, table_id=table_id, bucket=bucket, chunk_seq=chunk_seq,
+        allow_zlib=allow_zlib)
+    return b"".join(bytes(p) if isinstance(p, memoryview) else p
+                    for p in pieces), stats
 
 
 def decode_chunk(blob: bytes, columns: list[str] | None = None) -> pa.RecordBatch:

@@ -23,6 +23,9 @@ pure-Python engine (no SIMD kernels available):
   lengths stored FOR-bitpacked; symbols may match across string
   boundaries, which only helps ratio and cannot break the round-trip
   because decode splits by original lengths.
+* **Table construction counts n-grams vectorized** (NumPy sliding windows
+  over the sample) instead of the paper's generational parse-and-merge —
+  see build_symbol_table for why the looser gain estimate is safe.
 
 Both keep the invariant that matters: ``decode(encode(x)) == x`` byte-for-
 byte (the north_rule's "byte-identical extracted text per url").
@@ -37,7 +40,7 @@ import numpy as np
 from .base import offsets_from_lengths, pack_lengths, unpack_lengths
 
 MAX_SYMBOL_LEN = 8
-GENERATIONS = 4
+# table build is vectorized n-gram counting (no generational re-parse needed)
 DEFAULT_SAMPLE = 16 * 1024
 MAX_SYMBOLS = 96        # replace-chain passes are O(n) each; cap the chain
 
@@ -46,41 +49,42 @@ class FsstInapplicable(ValueError):
     """Raised when the chunk leaves no free code space (all 256 bytes used)."""
 
 
-def _greedy_parse(sample: bytes, symbols: set[bytes]) -> list[bytes]:
-    out = []
-    i, n = 0, len(sample)
-    maxlen = max((len(s) for s in symbols), default=1)
-    while i < n:
-        match = None
-        top = min(MAX_SYMBOL_LEN, maxlen, n - i)
-        for length in range(top, 1, -1):
-            cand = sample[i:i + length]
-            if cand in symbols:
-                match = cand
-                break
-        if match is None:
-            match = sample[i:i + 1]
-        out.append(match)
-        i += len(match)
-    return out
+_WIDTH_DTYPE = {2: np.uint16, 4: np.uint32, 8: np.uint64}
+
+
+def _top_ngrams(arr: np.ndarray, width: int, top: int) -> list[tuple[bytes, int]]:
+    """Most frequent width-grams of a byte array, via integer-view unique
+    (1-d int sort, ~100× faster than row-wise unique)."""
+    if len(arr) < width:
+        return []
+    win = np.lib.stride_tricks.sliding_window_view(arr, width)
+    keys = np.ascontiguousarray(win).view(_WIDTH_DTYPE[width]).ravel()
+    uniq, counts = np.unique(keys, return_counts=True)
+    if len(uniq) > top:
+        keep = np.argpartition(counts, -top)[-top:]
+        uniq, counts = uniq[keep], counts[keep]
+    return [(uniq[i:i + 1].tobytes(), int(counts[i])) for i in range(len(uniq))]
 
 
 def build_symbol_table(sample: bytes, budget: int) -> list[bytes]:
-    """Evolve a multi-byte symbol table on ``sample`` (paper §3.3 style)."""
-    current: list[bytes] = []
-    for _ in range(GENERATIONS):
-        parsed = _greedy_parse(sample, set(current))
-        gains: Counter = Counter()
-        for sym, cnt in Counter(parsed).items():
-            if len(sym) > 1:
-                gains[sym] += cnt * (len(sym) - 1)
-        for (a, b), cnt in Counter(zip(parsed, parsed[1:])).items():
-            merged = a + b
-            if len(merged) <= MAX_SYMBOL_LEN:
-                gains[merged] += cnt * (len(merged) - 1)
-        ranked = sorted(gains.items(), key=lambda kv: (-kv[1], kv[0]))
-        current = [s for s, g in ranked[:budget] if g >= 2 * len(s)]
-    return sorted(current, key=lambda s: (-len(s), s))
+    """Candidate symbols from the sample, vectorized.
+
+    The paper evolves the table by re-parsing the sample per generation;
+    here candidate n-grams (widths 2, 4, 8) are counted directly with
+    NumPy integer views — gain ≈ count·(len−1).  Overlap between nested
+    grams overestimates gains, but encode prunes symbols against the
+    sample before the full replace chain, so the estimator only has to
+    rank, not be exact.
+    """
+    arr = np.frombuffer(sample, dtype=np.uint8)
+    gains: Counter = Counter()
+    for width in (2, 4, 8):
+        for gram, cnt in _top_ngrams(arr, width, budget * 2):
+            gain = cnt * (width - 1)
+            if gain >= 2 * width:
+                gains[gram] = max(gains[gram], gain)
+    ranked = sorted(gains.items(), key=lambda kv: (-kv[1], kv[0]))[:budget]
+    return sorted((s for s, _ in ranked), key=lambda s: (-len(s), s))
 
 
 def _take_sample(data: bytes, sample_bytes: int) -> bytes:
@@ -94,7 +98,7 @@ def _take_sample(data: bytes, sample_bytes: int) -> bytes:
     return b"".join(data[i * step:i * step + piece] for i in range(k))
 
 
-def encode_fsst_var(data: bytes, offsets: np.ndarray,
+def encode_fsst_var(data, offsets: np.ndarray,
                     sample_bytes: int = DEFAULT_SAMPLE) -> tuple[bytes, dict]:
     arr = np.frombuffer(data, dtype=np.uint8)
     lengths = np.diff(offsets.astype(np.int64))
@@ -106,12 +110,33 @@ def encode_fsst_var(data: bytes, offsets: np.ndarray,
         raise FsstInapplicable("chunk uses all 256 byte values")
 
     budget = min(MAX_SYMBOLS, len(free_codes))
-    symbols = build_symbol_table(_take_sample(data, sample_bytes), budget)
-    symbols = symbols[:budget]
+    # the replace chain needs a real bytes object; convert only after the
+    # inapplicability check so all-256-byte columns (random binary) never
+    # pay the copy
+    if not isinstance(data, bytes):
+        data = bytes(data)
+    sample = _take_sample(data, sample_bytes)
+    symbols = build_symbol_table(sample, budget)[:budget]
+
+    # prune against the sample first: each bytes.replace pass over the full
+    # buffer is O(current size), so only symbols that demonstrably shrink
+    # the sample (≥ 0.1% or 8 bytes) earn a full pass.  Longest-first
+    # application both preserves phrase-level wins and collapses the buffer
+    # early, making the remaining (short-symbol) passes cheap.  (Any order
+    # decodes correctly — a replaced region is always a valid code tiling.)
+    min_gain = max(8, len(sample) // 1000)
+    kept, probe = [], sample
+    for code, sym in zip(free_codes, symbols):
+        new = probe.replace(sym, bytes([code]))
+        gain = len(probe) - len(new)
+        if gain >= min_gain:
+            kept.append((gain, code, sym))
+            probe = new
+    kept.sort(key=lambda t: (-len(t[2]), -t[0], t[1]))
 
     enc = data
     assignment: list[tuple[int, bytes]] = []      # (code, symbol)
-    for code, sym in zip(free_codes, symbols):
+    for _, code, sym in kept:
         new = enc.replace(sym, bytes([code]))
         if len(new) < len(enc):
             assignment.append((code, sym))

@@ -27,10 +27,13 @@ def decode_plain_fixed(payload: bytes, meta: dict, n: int) -> np.ndarray:
     return np.frombuffer(payload, dtype=np.dtype(meta["dtype"]), count=n)
 
 
-def encode_plain_var(data: bytes, offsets: np.ndarray) -> tuple[bytes, dict]:
+def encode_plain_var(data, offsets: np.ndarray) -> tuple[list, dict]:
+    """Payload is a piece list [packed_lengths, data] — the data piece may
+    be a zero-copy memoryview of the Arrow buffer (PLAIN never copies the
+    payload; the chunk writer streams it)."""
     lengths = np.diff(offsets.astype(np.int64))
     lp, lmeta = pack_lengths(lengths)
-    return lp + data, {**lmeta, "lpn": len(lp)}
+    return [lp, data], {**lmeta, "lpn": len(lp)}
 
 
 def decode_plain_var(payload: bytes, meta: dict, n: int) -> tuple[bytes, np.ndarray]:

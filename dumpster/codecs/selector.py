@@ -50,6 +50,7 @@ _DEC_VAR = {PLAIN: decode_plain_var, DICT: decode_dict_var,
             RLE: decode_rle_var, FSST: decode_fsst_var}
 
 SAMPLE_ROWS = 1024
+SAMPLE_ROWS_VAR = 512    # var-width sample encodes pay per byte; keep lean
 ZLIB_LEVEL = 1
 ZLIB_MIN_GAIN = 0.875    # keep zlib only if it shrinks below 7/8
 
@@ -101,17 +102,25 @@ def select_encode_fixed(vals: np.ndarray, seed: int,
     return winner, zlibbed, payload, meta, {"est": ests, "n": n}
 
 
-def select_encode_var(data: bytes, offsets: np.ndarray, seed: int,
-                      allow_zlib: bool = True) -> tuple[int, bool, bytes, dict, dict]:
+def _plen(payload) -> int:
+    if isinstance(payload, list):
+        return sum(len(p) for p in payload)
+    return len(payload)
+
+
+def select_encode_var(data, offsets: np.ndarray, seed: int,
+                      allow_zlib: bool = True) -> tuple[int, bool, object, dict, dict]:
+    """``data`` may be bytes or a zero-copy memoryview of the Arrow buffer;
+    the returned payload may be a piece list (see plain.encode_plain_var)."""
     n = len(offsets) - 1
-    idx = _sample_idx(n, seed)
+    idx = _sample_idx(n, seed, SAMPLE_ROWS_VAR)
     s_data, s_offs = _subset_var(data, offsets, idx)
     scale = n / max(len(idx), 1)
     ests = {}
     for c in VAR_CODECS:
         try:
             p, _ = _ENC_VAR[c](s_data, s_offs)
-            ests[c] = int(len(p) * scale)
+            ests[c] = int(_plen(p) * scale)
         except FsstInapplicable:
             continue
         except Exception:
@@ -124,42 +133,62 @@ def select_encode_var(data: bytes, offsets: np.ndarray, seed: int,
         payload, meta = encode_plain_var(data, offsets)
     if winner != PLAIN:
         plain_p, plain_m = encode_plain_var(data, offsets)
-        if len(plain_p) <= len(payload):
+        if _plen(plain_p) <= _plen(payload):
             winner, payload, meta = PLAIN, plain_p, plain_m
     payload, zlibbed = _maybe_zlib(payload, allow_zlib)
     return winner, zlibbed, payload, meta, {"est": ests, "n": n}
 
 
-def decode_fixed(codec: int, zlibbed: bool, payload: bytes, meta: dict,
+def _as_bytes(payload) -> bytes:
+    if isinstance(payload, list):
+        return b"".join(bytes(p) for p in payload)
+    if isinstance(payload, memoryview):
+        return bytes(payload)
+    return payload
+
+
+def decode_fixed(codec: int, zlibbed: bool, payload, meta: dict,
                  n: int) -> np.ndarray:
+    payload = _as_bytes(payload)
     if zlibbed:
         payload = zlib.decompress(payload)
     return _DEC_FIXED[codec](payload, meta, n)
 
 
-def decode_var(codec: int, zlibbed: bool, payload: bytes, meta: dict,
+def decode_var(codec: int, zlibbed: bool, payload, meta: dict,
                n: int) -> tuple[bytes, np.ndarray]:
+    payload = _as_bytes(payload)
     if zlibbed:
         payload = zlib.decompress(payload)
     return _DEC_VAR[codec](payload, meta, n)
 
 
-def _maybe_zlib(payload: bytes, allow: bool) -> tuple[bytes, bool]:
-    if not allow or len(payload) < 64:
+def _maybe_zlib(payload, allow: bool) -> tuple[object, bool]:
+    total = _plen(payload)
+    if not allow or total < 64:
         return payload, False
-    z = zlib.compress(payload, ZLIB_LEVEL)
-    if len(z) < ZLIB_MIN_GAIN * len(payload):
+    probe_src = payload[-1] if isinstance(payload, list) else payload
+    # probe a 64 KiB slice first: skip the full pass when the payload is
+    # incompressible (random binary) — the common big-column case
+    if total > 256 * 1024 and len(probe_src) >= 64 * 1024:
+        probe = probe_src[:64 * 1024]
+        if len(zlib.compress(probe, ZLIB_LEVEL)) > ZLIB_MIN_GAIN * len(probe):
+            return payload, False
+    joined = b"".join(bytes(p) for p in payload) \
+        if isinstance(payload, list) else payload
+    z = zlib.compress(joined, ZLIB_LEVEL)
+    if len(z) < ZLIB_MIN_GAIN * total:
         return z, True
     return payload, False
 
 
-def _subset_var(data: bytes, offsets: np.ndarray,
+def _subset_var(data, offsets: np.ndarray,
                 idx: np.ndarray) -> tuple[bytes, np.ndarray]:
     if len(idx) == len(offsets) - 1:
         return data, offsets
     offs = offsets.astype(np.int64)
     starts, ends = offs[idx], offs[idx + 1]
     lens = ends - starts
-    mv = memoryview(data)
+    mv = data if isinstance(data, memoryview) else memoryview(data)
     out = b"".join(bytes(mv[s:e]) for s, e in zip(starts.tolist(), ends.tolist()))
     return out, base.offsets_from_lengths(lens)

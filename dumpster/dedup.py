@@ -75,17 +75,35 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
             .select("id_a", "id_b", "jaccard"))
 
 
+MINHASH_P = 1073741789   # prime < 2^30: affine transforms stay in int64
+
+
+def shingle_hash(col) -> "F.Column":
+    """Portable 60-bit shingle hash: first 15 md5 hex digits as an int.
+
+    Identical in Spark (`conv(substr(md5(x),1,15),16,10)`) and DuckDB
+    (`CAST(('0x'||substr(md5(x),1,15)) AS BIGINT)`), which is what lets
+    the DuckDB oracle reproduce signatures exactly.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def minhash_signatures(df: DataFrame, n_bands: int = 8,
                        n: int = 3) -> DataFrame:
-    """Per-(doc, band) minhash: min md5(band || shingle) — portable hash."""
-    sh = shingles(df, n=n)
+    """Per-(doc, band) minhash via one shingle hash + affine band maps.
+
+    sig_band = min over shingles of ((2·band+1)·(h mod P) + band) mod P —
+    the classic single-hash minhash family: one md5 per shingle instead of
+    one per (shingle, band), which is the dominant cost at crawl scale.
+    """
+    sh = shingles(df, n=n).withColumn(
+        "h", shingle_hash(F.col("shingle")) % MINHASH_P)
     bands = F.explode(F.array(*[F.lit(i) for i in range(n_bands)])).alias("band")
-    exploded = sh.select("doc_id", "shingle", bands)
+    exploded = sh.select("doc_id", "h", bands)
+    sig = ((F.col("band") * 2 + 1) * F.col("h") + F.col("band")) % MINHASH_P
     return (exploded
             .groupBy("doc_id", "band")
-            .agg(F.min(F.md5(F.concat(F.col("band").cast("string"),
-                                      F.lit("|"), F.col("shingle"))))
-                 .alias("sig")))
+            .agg(F.min(sig).alias("sig")))
 
 
 def minhash_lsh_pairs(df: DataFrame, n_bands: int = 8, min_bands: int = 2,

@@ -42,7 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-from .chunk import decode_chunk, encode_chunk
+from .chunk import decode_chunk, encode_chunk_pieces
 from .pipeline import prep_for_encode
 
 DEFAULT_CHUNK_ROWS = 65536
@@ -61,16 +61,20 @@ _MANIFEST_ARROW = pa.schema([
 ])
 
 
-def _fs_write_atomic(path: str, data: bytes) -> None:
+def _fs_write_atomic(path: str, data) -> None:
     """Durable single-writer file publish: tmp + rename (local FS).
 
+    ``data`` is bytes or a list of buffers (streamed, no concatenation).
     Production seam: swap for an S3 put / HDFS create — the manifest-after-
     chunks ordering is what carries the crash-consistency contract, not the
     rename itself.
     """
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
-        f.write(data)
+        if isinstance(data, list):
+            f.writelines(data)
+        else:
+            f.write(data)
     os.replace(tmp, path)
 
 
@@ -91,76 +95,89 @@ def done_buckets(out_dir: str) -> set[int]:
 
 
 def _make_encoder(out_dir: str, table_id: str, chunk_rows: int,
-                  chunk_bytes: int, allow_zlib: bool, skip: frozenset):
+                  chunk_bytes: int, allow_zlib: bool, skip: frozenset,
+                  sorted_input: bool = True):
+    """Per-task encoder over Arrow batches.
+
+    Buckets need not be contiguous: state is kept per bucket, chunks flush
+    eagerly at the row/byte thresholds, and each bucket's manifest file is
+    written exactly once, after all its chunks are durable.  With
+    ``sorted_input`` (the locality-sorted pipeline) a bucket is finalised
+    as soon as the next bucket appears, which keeps at most one open
+    buffer and the finest resume granularity; unsorted input defers
+    finalisation to end-of-task.
+    """
     def encode_partition(batches):
         from pyspark import TaskContext
         tc = TaskContext.get()
         pid = tc.partitionId() if tc is not None else -1
 
-        state = {"bucket": None, "tables": [], "rows": 0, "bytes": 0,
-                 "seq": 0, "rows_out": []}
+        buckets: dict[int, dict] = {}
 
-        def emit_chunk(tbl: pa.Table):
+        def _state(bucket: int) -> dict:
+            if bucket not in buckets:
+                buckets[bucket] = {"tables": [], "rows": 0, "bytes": 0,
+                                   "seq": 0, "rows_out": []}
+            return buckets[bucket]
+
+        def emit_chunk(bucket: int, st: dict, tbl: pa.Table):
             t0 = time.perf_counter()
             batch = tbl.combine_chunks().to_batches()[0]
-            bucket, seq = state["bucket"], state["seq"]
-            blob, stats = encode_chunk(batch, table_id=table_id,
-                                       bucket=bucket, chunk_seq=seq,
-                                       allow_zlib=allow_zlib)
+            seq = st["seq"]
+            try:
+                pieces, stats = encode_chunk_pieces(
+                    batch, table_id=table_id, bucket=bucket, chunk_seq=seq,
+                    allow_zlib=allow_zlib)
+            except Exception:
+                # S3-parity dead-letter semantics, minus the data loss: a
+                # codec/selector failure downgrades the chunk to PLAIN
+                # instead of killing a 100-TB job (the reference captures
+                # decode errors inline rather than crashing,
+                # AvroSchemaRegistryDeserializer.java:32-41)
+                pieces, stats = encode_chunk_pieces(
+                    batch, table_id=table_id, bucket=bucket, chunk_seq=seq,
+                    allow_zlib=False, plain_only=True)
+                for cs in stats:
+                    cs["fallback"] = True
             path = _chunk_path(out_dir, bucket, seq)
-            _fs_write_atomic(path, blob)
+            _fs_write_atomic(path, pieces)
+            blob_len = sum(len(p) for p in pieces)
             ms = (time.perf_counter() - t0) * 1e3
-            state["rows_out"].append({
+            st["rows_out"].append({
                 "bucket": bucket, "chunk_seq": seq, "file": path,
                 "n_rows": batch.num_rows,
                 "raw_bytes": int(sum(s["raw_bytes"] for s in stats)),
-                "encoded_bytes": len(blob), "n_cols": batch.num_columns,
+                "encoded_bytes": blob_len, "n_cols": batch.num_columns,
                 "encode_ms": ms, "partition_id": pid,
                 "col_stats": json.dumps(stats, separators=(",", ":")),
             })
-            state["seq"] += 1
+            st["seq"] += 1
 
-        def drain_full_chunks(final: bool):
-            while state["rows"] and (final or state["rows"] >= chunk_rows
-                                     or state["bytes"] >= chunk_bytes):
-                tbl = pa.concat_tables(state["tables"])
+        def drain(bucket: int, st: dict, final: bool):
+            while st["rows"] and (final or st["rows"] >= chunk_rows
+                                  or st["bytes"] >= chunk_bytes):
+                tbl = pa.concat_tables(st["tables"])
                 take = min(chunk_rows, tbl.num_rows)
-                emit_chunk(tbl.slice(0, take))
+                emit_chunk(bucket, st, tbl.slice(0, take))
                 rest = tbl.slice(take)
-                state["tables"] = [rest] if rest.num_rows else []
-                state["rows"] = rest.num_rows
-                state["bytes"] = rest.nbytes if rest.num_rows else 0
+                st["tables"] = [rest] if rest.num_rows else []
+                st["rows"] = rest.num_rows
+                st["bytes"] = rest.nbytes if rest.num_rows else 0
 
-        def close_bucket():
-            if state["bucket"] is None:
-                return None
-            drain_full_chunks(final=True)
-            rows = state["rows_out"]
-            mb = pa.RecordBatch.from_pylist(rows, schema=_MANIFEST_ARROW)
+        def close_bucket(bucket: int):
+            st = buckets.pop(bucket)
+            drain(bucket, st, final=True)
+            mb = pa.RecordBatch.from_pylist(st["rows_out"],
+                                            schema=_MANIFEST_ARROW)
             # manifest is the commit record: written only after every chunk
             # of the bucket is durably renamed (crash-consistency contract)
             sink = pa.BufferOutputStream()
             pq.write_table(pa.Table.from_batches([mb]), sink)
-            _fs_write_atomic(_manifest_path(out_dir, state["bucket"]),
+            _fs_write_atomic(_manifest_path(out_dir, bucket),
                              sink.getvalue().to_pybytes())
-            state.update(bucket=None, tables=[], rows=0, bytes=0, seq=0,
-                         rows_out=[])
             return mb
 
-        def feed(bucket: int, tbl: pa.Table):
-            if bucket in skip:
-                return
-            if state["bucket"] is not None and bucket != state["bucket"]:
-                mb = close_bucket()
-                if mb is not None:
-                    yield mb
-            if state["bucket"] is None:
-                state["bucket"] = bucket
-            state["tables"].append(tbl)
-            state["rows"] += tbl.num_rows
-            state["bytes"] += tbl.nbytes
-            drain_full_chunks(final=False)
-
+        last_bucket = None
         for batch in batches:
             tbl = pa.Table.from_batches([batch])
             bcol = tbl.column("__bucket").to_numpy()
@@ -170,10 +187,20 @@ def _make_encoder(out_dir: str, table_id: str, chunk_rows: int,
             change = np.flatnonzero(bcol[1:] != bcol[:-1]) + 1
             bounds = np.concatenate(([0], change, [len(bcol)]))
             for s, e in zip(bounds[:-1], bounds[1:]):
-                yield from feed(int(bcol[s]), data.slice(s, e - s))
-        mb = close_bucket()
-        if mb is not None:
-            yield mb
+                b = int(bcol[s])
+                if b in skip:
+                    continue
+                if sorted_input and last_bucket is not None \
+                        and b != last_bucket and last_bucket in buckets:
+                    yield close_bucket(last_bucket)
+                last_bucket = b
+                st = _state(b)
+                st["tables"].append(data.slice(s, e - s))
+                st["rows"] += e - s
+                st["bytes"] += st["tables"][-1].nbytes
+                drain(b, st, final=False)
+        for b in sorted(buckets):
+            yield close_bucket(b)
 
     return encode_partition
 
@@ -183,7 +210,7 @@ def encode_table(df: DataFrame, out_dir: str, *, url_col: str | None = None,
                  chunk_rows: int = DEFAULT_CHUNK_ROWS,
                  chunk_bytes: int = DEFAULT_CHUNK_BYTES,
                  table_id: str | None = None, allow_zlib: bool = True,
-                 resume: bool = True,
+                 resume: bool = True, locality_sort: bool = True,
                  order_cols: tuple[str, ...] = ()) -> DataFrame:
     """Encode ``df`` into chunk files + manifest under ``out_dir``.
 
@@ -205,20 +232,23 @@ def encode_table(df: DataFrame, out_dir: str, *, url_col: str | None = None,
     done = done_buckets(out_dir) if resume else set()
 
     if url_col is not None:
-        prepped = prep_for_encode(df, url_col, n_buckets, salt_k, order_cols)
+        prepped = prep_for_encode(df, url_col, n_buckets, salt_k, order_cols,
+                                  locality_sort=locality_sort)
     else:
         if bucket_expr is None:
             bucket_expr = F.pmod(F.xxhash64(*df.columns), F.lit(n_buckets)) \
                 .cast("int")
         prepped = (df.withColumn("__bucket", bucket_expr)
-                   .repartition(n_buckets, "__bucket")
-                   .sortWithinPartitions("__bucket", *order_cols))
+                   .repartition(n_buckets, "__bucket"))
+        if locality_sort:
+            prepped = prepped.sortWithinPartitions("__bucket", *order_cols)
 
     if done:
         prepped = prepped.filter(~F.col("__bucket").isin([int(b) for b in done]))
 
     encoder = _make_encoder(out_dir, table_id, chunk_rows, chunk_bytes,
-                            allow_zlib, frozenset(done))
+                            allow_zlib, frozenset(done),
+                            sorted_input=locality_sort)
     metrics = prepped.mapInArrow(encoder, schema=MANIFEST_DDL)
     metrics.collect()  # manifest rows are tiny (one per chunk); this is the action
     return read_manifest(spark, out_dir)
@@ -271,6 +301,22 @@ def decode_table(spark: SparkSession, out_dir: str,
                 yield decode_chunk(blob, columns=names)
 
     return fdf.mapInArrow(reader, schema=schema)
+
+
+def register_decoded_view(spark: SparkSession, out_dir: str, name: str,
+                          columns: list[str] | None = None) -> DataFrame:
+    """K4 parity: expose an encoded table to SQL.
+
+    The reference registers each uploaded file in the Hive Metastore
+    (HiveUtil.java:16-35, external Parquet table + ADD PARTITION); here the
+    manifest + _schema.json are the catalog and the decoded DataFrame is
+    published as a (temp) view — ``spark.sql(f"SELECT ... FROM {name}")``
+    works immediately.  A production deployment would instead register an
+    Iceberg/DSv2 table backed by the same manifest.
+    """
+    df = decode_table(spark, out_dir, columns)
+    df.createOrReplaceTempView(name)
+    return df
 
 
 def encode_summary(manifest: DataFrame) -> dict:

@@ -109,15 +109,48 @@ def classify_records(df: DataFrame, value_col: str,
     return df.withColumn("record_type", c.otherwise(F.lit("RECORD")))
 
 
+def salted_bucket_of_host(host: Column, url: Column, n_buckets: int,
+                          salt_k: int = 4) -> Column:
+    """salted_bucket with a precomputed host column (avoids re-running the
+    host regexp once per consumer of the host)."""
+    n_groups = max(n_buckets // salt_k, 1)
+    host_group = F.pmod(F.xxhash64(host), F.lit(n_groups))
+    salt = F.pmod(F.xxhash64(url), F.lit(salt_k))
+    return (host_group * salt_k + salt).cast("int")
+
+
+def union_evolving(dfs: list[DataFrame]) -> DataFrame:
+    """G2: schema evolution without write failure.
+
+    The reference keeps one writer per distinct Avro schema inside an hour
+    bucket (HourlyBasedRecordConsumer.java:20, :58-67); in batch Spark the
+    same guarantee is ``unionByName(allowMissingColumns=True)`` — new
+    fields appear as nulls on old rows, dropped fields as nulls on new
+    ones, and the encoder sees one superset schema.
+    """
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d, allowMissingColumns=True)
+    return out
+
+
 def prep_for_encode(df: DataFrame, url_col: str, n_buckets: int,
-                    salt_k: int = 4, order_cols: tuple[str, ...] = ()) -> DataFrame:
+                    salt_k: int = 4, order_cols: tuple[str, ...] = (),
+                    locality_sort: bool = True) -> DataFrame:
     """Full prep: salted bucket → explicit repartition → locality sort.
 
-    One shuffle, keyed by the salted bucket; sortWithinPartitions is a
-    local sort (no extra exchange) that restores host-major locality
-    inside each partition so RLE/FSST/dict see runs.
+    One shuffle, keyed by the salted bucket.  The host is materialised
+    once and reused by both the bucket expression and the optional
+    sortWithinPartitions (a local sort, no extra exchange) that restores
+    host-major locality inside each partition so RLE/FSST/dict see runs —
+    a ratio/throughput knob: skipping it saves the row sort, costs
+    compression locality.
     """
-    out = df.withColumn("__bucket", salted_bucket(url_col, n_buckets, salt_k))
+    u = F.col(url_col)
+    out = df.withColumn("__host", host_of(u))
+    out = out.withColumn("__bucket", salted_bucket_of_host(
+        F.col("__host"), u, n_buckets, salt_k))
     out = out.repartition(n_buckets, "__bucket")
-    sort_cols = ["__bucket", host_of(url_col)] + [F.col(c) for c in order_cols]
-    return out.sortWithinPartitions(*sort_cols)
+    if locality_sort:
+        out = out.sortWithinPartitions("__bucket", "__host", *order_cols)
+    return out.drop("__host")

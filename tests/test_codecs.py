@@ -71,6 +71,14 @@ def _to_var(objs):
     return base.objects_to_varbytes(list(objs))
 
 
+def _join(payload):
+    """Codec payloads may be piece lists (zero-copy path); the chunk
+    container concatenates them on disk — mirror that for direct tests."""
+    if isinstance(payload, list):
+        return b"".join(bytes(p) for p in payload)
+    return payload
+
+
 def _from_var(data, offsets):
     return list(base.varbytes_to_objects(data, offsets))
 
@@ -142,7 +150,7 @@ def test_var_roundtrip(name, enc, dec):
         payload, meta = enc(data, offsets)
     except FsstInapplicable:
         pytest.skip("fsst inapplicable on this input (expected)")
-    out_data, out_offs = dec(payload, meta, len(objs))
+    out_data, out_offs = dec(_join(payload), meta, len(objs))
     assert _from_var(out_data, out_offs) == objs
 
 
@@ -209,7 +217,7 @@ def test_selector_never_worse_than_plain_plus_header():
     data, offsets = _to_var(_bytes_cases()["random_bin"])
     plain_p, _ = encode_plain_var(data, offsets)
     codec, z, payload, _, _ = select_encode_var(data, offsets, seed=3)
-    assert len(payload) <= len(plain_p)
+    assert len(_join(payload)) <= len(_join(plain_p))
 
 
 def test_selector_deterministic_same_seed():
