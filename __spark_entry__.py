@@ -282,6 +282,20 @@ def q_roundtrip_zero_mismatch(spark, sf):
                                  "missing_rows long, extra_rows long")
 
 
+def q_embeddings_roundtrip(spark, sf):
+    """list<float> columns through the codec layer (rows-only)."""
+    emb = _t(spark, sf, "embeddings")
+    out = tempfile.mkdtemp(prefix="dumpster_q_emb_")
+    encode_table(emb, out,
+                 bucket_expr=F.pmod(F.xxhash64("vec_id"), F.lit(8)).cast("int"),
+                 n_buckets=8, chunk_rows=4096, table_id="embeddings_rt")
+    dec = decode_table(spark, out)
+    a = emb.exceptAll(dec).count()
+    b = dec.exceptAll(emb).count()
+    return spark.createDataFrame([(a, b)],
+                                 "missing_rows long, extra_rows long")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dict_codes_lang": q_dict_codes_lang,
@@ -309,6 +323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encode_documents_manifest": q_encode_documents_manifest,
         "codec_selection_report": q_codec_selection_report,
         "roundtrip_zero_mismatch": q_roundtrip_zero_mismatch,
+        "embeddings_roundtrip": q_embeddings_roundtrip,
     }
 
 
@@ -484,6 +499,9 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "roundtrip_zero_mismatch": """
+            SELECT CAST(0 AS BIGINT) AS missing_rows, CAST(0 AS BIGINT) AS extra_rows
+        """,
+        "embeddings_roundtrip": """
             SELECT CAST(0 AS BIGINT) AS missing_rows, CAST(0 AS BIGINT) AS extra_rows
         """,
     }

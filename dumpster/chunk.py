@@ -42,6 +42,7 @@ MAGIC = b"DMC1"
 _KIND_INT = "i"      # ints / bool / timestamp / date → int64
 _KIND_FLOAT = "f"    # float32/float64 native
 _KIND_VAR = "v"      # string/binary → (data, offsets)
+_KIND_LIST = "l"     # list<numeric> (e.g. embeddings) → lengths + child
 
 
 def _kind_of(t: pa.DataType) -> str:
@@ -54,7 +55,27 @@ def _kind_of(t: pa.DataType) -> str:
     if (pa.types.is_string(t) or pa.types.is_large_string(t)
             or pa.types.is_binary(t) or pa.types.is_large_binary(t)):
         return _KIND_VAR
+    if (pa.types.is_list(t) or pa.types.is_large_list(t)) and (
+            pa.types.is_integer(t.value_type)
+            or pa.types.is_floating(t.value_type)):
+        return _KIND_LIST
     raise TypeError(f"unsupported column type for codec layer: {t}")
+
+
+def _list_parts(arr: pa.Array) -> tuple[np.ndarray, pa.Array]:
+    """(per-row lengths, flat child values) of a list<numeric> column.
+
+    Child nulls are rejected (an embedding with a null element is a data
+    bug, not a layout case); row-level nulls are handled by the caller's
+    validity bitmap like every other kind.
+    """
+    a = arr.cast(pa.list_(arr.type.value_type))
+    offs = np.frombuffer(a.buffers()[1], dtype=np.int32,
+                         count=len(a) + 1, offset=a.offset * 4).astype(np.int64)
+    child = a.values.slice(int(offs[0]), int(offs[-1] - offs[0]))
+    if child.null_count:
+        raise TypeError("list columns with null elements are not supported")
+    return np.diff(offs), child
 
 
 def _int64_view_type(t: pa.DataType) -> pa.DataType:
@@ -116,6 +137,7 @@ def encode_chunk_pieces(batch: pa.RecordBatch, *, table_id: str = "t",
         dense, valid = _dense_and_validity(arr)
         seed = stable_seed(table_id, bucket, chunk_seq, name)
         raw_bytes = _raw_size(dense, kind)
+        vals = None
         if kind == _KIND_VAR:
             data, offsets = _var_parts(dense)
             if plain_only:
@@ -125,6 +147,24 @@ def encode_chunk_pieces(batch: pa.RecordBatch, *, table_id: str = "t",
             else:
                 codec, zl, payload, meta, _ = select_encode_var(
                     data, offsets, seed, allow_zlib)
+        elif kind == _KIND_LIST:
+            lengths, child = _list_parts(dense)
+            if pa.types.is_integer(child.type):
+                cvals = np.asarray(child.cast(pa.int64()))
+            else:
+                cvals = np.asarray(child)
+            from .codecs.base import pack_lengths
+            lp, lmeta = pack_lengths(lengths)
+            if plain_only:
+                from .codecs.plain import encode_plain_fixed
+                codec, zl = PLAIN_ID, False
+                cpayload, cmeta = encode_plain_fixed(cvals)
+            else:
+                codec, zl, cpayload, cmeta, _ = select_encode_fixed(
+                    cvals, seed, allow_zlib)
+            payload = [lp, *_pieces(cpayload)]
+            meta = {"lens": lmeta, "lpn": len(lp), "child": cmeta,
+                    "cn": int(len(cvals))}
         else:
             if kind == _KIND_INT:
                 vals = np.asarray(dense.cast(_int64_view_type(arr.type)))
@@ -139,6 +179,13 @@ def encode_chunk_pieces(batch: pa.RecordBatch, *, table_id: str = "t",
                     vals, seed, allow_zlib)
         pieces = _pieces(payload)
         plen = sum(len(p) for p in pieces)
+        # zone maps: per-chunk min/max for numeric-family columns — the
+        # manifest-level analog of the reference's dt=/hr= directory
+        # partitioning (HourlyBasedRecordConsumer.java:125-131) and of
+        # Iceberg manifest stats; decode_table prunes chunks with them
+        vmin = vmax = None
+        if vals is not None and len(dense):
+            vmin, vmax = vals.min().item(), vals.max().item()
         vbm = np.packbits(valid, bitorder="little").tobytes() if valid is not None else b""
         desc = {"name": name, "codec": codec, "zlib": bool(zl), "kind": kind,
                 "meta": meta, "n_valid": len(dense)}
@@ -151,7 +198,8 @@ def encode_chunk_pieces(batch: pa.RecordBatch, *, table_id: str = "t",
         stats.append({"column": name, "codec": CODEC_NAMES[codec],
                       "zlib": bool(zl), "raw_bytes": raw_bytes,
                       "encoded_bytes": plen + len(desc_b) + len(vbm) + 16,
-                      "n_nulls": int(arr.null_count)})
+                      "n_nulls": int(arr.null_count),
+                      "vmin": vmin, "vmax": vmax})
     out.append(struct.pack("<I", crc & 0xFFFFFFFF))
     return out, stats
 
@@ -213,6 +261,27 @@ def _decode_column(desc: dict, vbm: bytes, payload: bytes, n_rows: int,
     if vbm:
         valid = np.unpackbits(np.frombuffer(vbm, dtype=np.uint8),
                               count=n_rows, bitorder="little").astype(bool)
+    if kind == _KIND_LIST:
+        from .codecs.base import offsets_from_lengths, unpack_lengths
+        lpn = meta["lpn"]
+        lengths = unpack_lengths(payload[:lpn], meta["lens"])
+        cvals = decode_fixed(codec, zl, payload[lpn:], meta["child"],
+                             meta["cn"])
+        child_type = target_type.value_type
+        if pa.types.is_integer(child_type):
+            child = pa.array(cvals.view(np.int64)).cast(child_type)
+        else:
+            child = pa.array(cvals, type=child_type)
+        if valid is not None:
+            full_lens = np.zeros(n_rows, dtype=np.int64)
+            full_lens[valid] = lengths
+            lengths = full_lens
+        offs = offsets_from_lengths(lengths).astype(np.int32)
+        arr = pa.Array.from_buffers(
+            pa.list_(child_type), n_rows,
+            [_vbuf(valid), pa.py_buffer(offs.tobytes())],
+            null_count=-1 if valid is not None else 0, children=[child])
+        return arr.cast(target_type)
     if kind == _KIND_VAR:
         data, offsets = decode_var(codec, zl, payload, meta, n_valid)
         if valid is not None:

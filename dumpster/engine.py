@@ -42,6 +42,57 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
+FLAT_SEP = "@"           # struct leaves become "outer@inner" chunk columns
+_PRESENT = "@__present"  # distinguishes NULL struct from struct of NULLs
+
+
+def _has_structs(schema: StructType) -> bool:
+    return any(isinstance(f.dataType, StructType) for f in schema.fields)
+
+
+def _flatten_df(df: DataFrame) -> DataFrame:
+    """Struct columns → leaf columns (+ a presence bool per struct) so the
+    chunk layer only ever sees scalar/list columns.  The reference's P2
+    metadata struct (AvroExtendedMessage.java:69-88) round-trips through
+    this path; the logical schema is restored on decode."""
+    cols = []
+
+    def rec(expr, dtype, flat_name):
+        if isinstance(dtype, StructType):
+            cols.append(expr.isNotNull().alias(flat_name + _PRESENT))
+            for sub in dtype.fields:
+                rec(expr[sub.name], sub.dataType,
+                    flat_name + FLAT_SEP + sub.name)
+        else:
+            cols.append(expr.alias(flat_name))
+
+    for f in df.schema.fields:
+        rec(F.col(f"`{f.name}`"), f.dataType, f.name)
+    return df.select(*cols)
+
+
+def _flat_names_for(dtype, flat_name: str) -> list[str]:
+    if not isinstance(dtype, StructType):
+        return [flat_name]
+    out = [flat_name + _PRESENT]
+    for sub in dtype.fields:
+        out += _flat_names_for(sub.dataType, flat_name + FLAT_SEP + sub.name)
+    return out
+
+
+def _rebuild_df(df: DataFrame, logical: StructType) -> DataFrame:
+    def rec(dtype, flat_name):
+        if isinstance(dtype, StructType):
+            present = F.col(f"`{flat_name}{_PRESENT}`")
+            subs = [rec(sub.dataType, flat_name + FLAT_SEP + sub.name)
+                    .alias(sub.name) for sub in dtype.fields]
+            return F.when(present, F.struct(*subs)).otherwise(F.lit(None)) \
+                .cast(dtype)
+        return F.col(f"`{flat_name}`")
+
+    return df.select(*[rec(f.dataType, f.name).alias(f.name)
+                       for f in logical.fields])
+
 from .chunk import decode_chunk, encode_chunk_pieces
 from .pipeline import prep_for_encode
 
@@ -211,6 +262,7 @@ def encode_table(df: DataFrame, out_dir: str, *, url_col: str | None = None,
                  chunk_bytes: int = DEFAULT_CHUNK_BYTES,
                  table_id: str | None = None, allow_zlib: bool = True,
                  resume: bool = True, locality_sort: bool = True,
+                 host_major: bool = True,
                  order_cols: tuple[str, ...] = ()) -> DataFrame:
     """Encode ``df`` into chunk files + manifest under ``out_dir``.
 
@@ -225,6 +277,12 @@ def encode_table(df: DataFrame, out_dir: str, *, url_col: str | None = None,
     os.makedirs(os.path.join(out_dir, "manifest"), exist_ok=True)
     table_id = table_id or os.path.basename(os.path.normpath(out_dir))
 
+    if _has_structs(df.schema):
+        logical_path = os.path.join(out_dir, "_logical_schema.json")
+        if not os.path.exists(logical_path):
+            _fs_write_atomic(logical_path, df.schema.json().encode())
+        df = _flatten_df(df)
+
     schema_path = os.path.join(out_dir, "_schema.json")
     if not os.path.exists(schema_path):
         _fs_write_atomic(schema_path, df.schema.json().encode())
@@ -233,7 +291,8 @@ def encode_table(df: DataFrame, out_dir: str, *, url_col: str | None = None,
 
     if url_col is not None:
         prepped = prep_for_encode(df, url_col, n_buckets, salt_k, order_cols,
-                                  locality_sort=locality_sort)
+                                  locality_sort=locality_sort,
+                                  host_major=host_major)
     else:
         if bucket_expr is None:
             bucket_expr = F.pmod(F.xxhash64(*df.columns), F.lit(n_buckets)) \
@@ -268,27 +327,82 @@ def table_schema(out_dir: str) -> StructType:
         return StructType.fromJson(json.load(f))
 
 
+def _stat_value(v):
+    """Normalise a predicate bound to the manifest's int64/float stat space
+    (timestamps stored as int64 microseconds, UTC)."""
+    import datetime
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=datetime.timezone.utc)
+        return int(v.timestamp() * 1_000_000)
+    return v
+
+
+def prune_manifest_files(manifest_rows, zone_filter) -> list[str]:
+    """Keep files whose per-chunk [vmin, vmax] zone map overlaps the
+    predicate range; chunks without stats are kept (conservative)."""
+    col, lo, hi = zone_filter
+    lo, hi = _stat_value(lo), _stat_value(hi)
+    keep = []
+    for r in manifest_rows:
+        stats = {s["column"]: s for s in json.loads(r["col_stats"])}
+        s = stats.get(col)
+        if s is None or s.get("vmin") is None:
+            keep.append(r["file"])
+        elif not (s["vmax"] < lo or s["vmin"] > hi):
+            keep.append(r["file"])
+    return sorted(set(keep))
+
+
 def decode_table(spark: SparkSession, out_dir: str,
-                 columns: list[str] | None = None) -> DataFrame:
+                 columns: list[str] | None = None,
+                 zone_filter: tuple | None = None) -> DataFrame:
     """Inverse of encode_table: manifest → DataFrame, bit-identical.
 
-    Parallel over chunk files (no shuffle at all); column pruning reaches
-    the chunk container so unselected payloads are never decompressed.
+    Parallel over chunk files (no data shuffle at all); column pruning
+    reaches the chunk container so unselected payloads are never
+    decompressed.  ``zone_filter=(col, lo, hi)`` prunes whole chunks via
+    the manifest zone maps before any file is opened — the reference's
+    dt=/hr= partition pruning, generalised; NOTE it prunes at chunk
+    granularity, so callers still apply the exact row filter (encode with
+    ``order_cols=(col,)`` for tight zones).
     """
     full = table_schema(out_dir)
+    logical = None
+    lpath = os.path.join(out_dir, "_logical_schema.json")
+    if os.path.exists(lpath):
+        with open(lpath) as f:
+            logical = StructType.fromJson(json.load(f))
+
+    visible = logical if logical is not None else full
     if columns is not None:
-        missing = set(columns) - {f.name for f in full.fields}
+        missing = set(columns) - {f.name for f in visible.fields}
         if missing:
             raise ValueError(f"unknown columns {sorted(missing)}; "
-                             f"table has {[f.name for f in full.fields]}")
-    fields = [f for f in full.fields if columns is None or f.name in columns]
+                             f"table has {[f.name for f in visible.fields]}")
+    if logical is not None:
+        lfields = [f for f in logical.fields
+                   if columns is None or f.name in columns]
+        wanted = {n for f in lfields
+                  for n in _flat_names_for(f.dataType, f.name)}
+        fields = [f for f in full.fields if f.name in wanted]
+        logical = StructType(lfields)
+    else:
+        fields = [f for f in full.fields
+                  if columns is None or f.name in columns]
     schema = StructType(fields)
     names = [f.name for f in fields]
 
     manifest = read_manifest(spark, out_dir)
-    files = sorted(r["file"] for r in manifest.select("file").distinct().collect())
+    if zone_filter is not None:
+        rows = manifest.select("file", "col_stats").collect()
+        files = prune_manifest_files(rows, zone_filter)
+    else:
+        files = sorted(r["file"] for r in
+                       manifest.select("file").distinct().collect())
     if not files:
-        return spark.createDataFrame([], schema)
+        empty = spark.createDataFrame([], schema)
+        return _rebuild_df(empty, logical) if logical is not None else empty
     par = max(spark.sparkContext.defaultParallelism, 1)
     fdf = spark.createDataFrame([(f,) for f in files], "file string") \
         .repartition(min(len(files), par * 2))
@@ -300,7 +414,10 @@ def decode_table(spark: SparkSession, out_dir: str,
                     blob = fh.read()
                 yield decode_chunk(blob, columns=names)
 
-    return fdf.mapInArrow(reader, schema=schema)
+    out = fdf.mapInArrow(reader, schema=schema)
+    if logical is not None:
+        out = _rebuild_df(out, logical)
+    return out
 
 
 def register_decoded_view(spark: SparkSession, out_dir: str, name: str,

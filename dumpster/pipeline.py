@@ -136,7 +136,8 @@ def union_evolving(dfs: list[DataFrame]) -> DataFrame:
 
 def prep_for_encode(df: DataFrame, url_col: str, n_buckets: int,
                     salt_k: int = 4, order_cols: tuple[str, ...] = (),
-                    locality_sort: bool = True) -> DataFrame:
+                    locality_sort: bool = True,
+                    host_major: bool = True) -> DataFrame:
     """Full prep: salted bucket → explicit repartition → locality sort.
 
     One shuffle, keyed by the salted bucket.  The host is materialised
@@ -152,5 +153,11 @@ def prep_for_encode(df: DataFrame, url_col: str, n_buckets: int,
         F.col("__host"), u, n_buckets, salt_k))
     out = out.repartition(n_buckets, "__bucket")
     if locality_sort:
-        out = out.sortWithinPartitions("__bucket", "__host", *order_cols)
+        # host-major: host-vocabulary runs maximise RLE/FSST/dict ratio;
+        # order-major (host_major=False with order_cols=(ts,)): tight
+        # per-chunk zone maps for predicate-pruned decode — a layout
+        # tradeoff knob, like choosing a sort key at table-write time
+        sort_cols = (["__bucket", "__host", *order_cols] if host_major
+                     else ["__bucket", *order_cols, "__host"])
+        out = out.sortWithinPartitions(*sort_cols)
     return out.drop("__host")
