@@ -51,6 +51,8 @@ _DEC_VAR = {PLAIN: decode_plain_var, DICT: decode_dict_var,
 
 SAMPLE_ROWS = 1024
 SAMPLE_ROWS_VAR = 512    # var-width sample encodes pay per byte; keep lean
+SAMPLE_BYTES_VAR = 128 * 1024  # and cache-resident: wide rows (html) shrink
+MIN_SAMPLE_ROWS_VAR = 48       # the row count, never below this floor
 ZLIB_LEVEL = 1
 ZLIB_MIN_GAIN = 0.875    # keep zlib only if it shrinks below 7/8
 
@@ -113,7 +115,15 @@ def select_encode_var(data, offsets: np.ndarray, seed: int,
     """``data`` may be bytes or a zero-copy memoryview of the Arrow buffer;
     the returned payload may be a piece list (see plain.encode_plain_var)."""
     n = len(offsets) - 1
-    idx = _sample_idx(n, seed, SAMPLE_ROWS_VAR)
+    # trial encodes are multi-pass over the sample; with multi-KiB rows
+    # (html) a row-count-only sample is MBs and the passes become DRAM-bound
+    # — measured 14× per-chunk inflation at 32 concurrent workers.  Cap the
+    # sample by bytes so trials stay cache-resident at any row width.
+    avg_w = (int(offsets[-1]) - int(offsets[0])) / max(n, 1)
+    k = SAMPLE_ROWS_VAR
+    if avg_w > 0:
+        k = min(k, max(MIN_SAMPLE_ROWS_VAR, int(SAMPLE_BYTES_VAR / avg_w)))
+    idx = _sample_idx(n, seed, k)
     s_data, s_offs = _subset_var(data, offsets, idx)
     scale = n / max(len(idx), 1)
     ests = {}

@@ -162,6 +162,15 @@ def _make_encoder(out_dir: str, table_id: str, chunk_rows: int,
         from pyspark import TaskContext
         tc = TaskContext.get()
         pid = tc.partitionId() if tc is not None else -1
+        # Workers run one per task slot: a per-worker Arrow/OpenMP pool sized
+        # to the machine (the default) oversubscribes cores slots× and the
+        # resulting thread storm dominates encode wall at high parallelism.
+        # Codecs are single-threaded NumPy/bytes code; pin the pools to 1.
+        try:
+            pa.set_cpu_count(1)
+            pa.set_io_thread_count(1)
+        except Exception:
+            pass
 
         buckets: dict[int, dict] = {}
 

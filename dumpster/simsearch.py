@@ -11,6 +11,18 @@ Two paths, per the scale playbook:
   hash-seeded hyperplanes, sign-bit bucket per vector, candidates =
   bucket-mates.  The bucket id is the join/groupBy key, which is exactly
   the shuffle key — IVF-style pruning for the scale path.
+* ``embedding_near_dups`` — exact cosine near-duplicate pairs.  All-pairs
+  is O(n²), so at crawl scale this runs as the *verifier* behind an LSH
+  prefilter (buckets from ``lsh_bucket_candidates``); on bounded candidate
+  sets it runs directly.  The cosine itself stays JVM-side
+  (``zip_with`` + ``aggregate``) so the pair join is whole-stage codegen,
+  no Python in the hot path.
+* ``ivf_cells`` / ``ivf_topk`` — IVF: deterministic centroids (the first
+  C vectors by id — reproducible without a kmeans fit), map-side cell
+  assignment via one broadcast matmul per Arrow batch (no shuffle), then
+  top-k probes only the query's ``n_probe`` nearest cells.  The cell id
+  is the partition/join key — the "coarse quantizer prunes the scan" idea
+  from FAISS-style IVF, expressed as a bucket join.
 """
 
 from __future__ import annotations
