@@ -221,6 +221,28 @@ def q_ann_lsh_buckets(spark, sf):                     # rows-only (np planes)
                                            n_planes=12, seed=42)
 
 
+def _augmented_emb(spark, sf):
+    e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    dups = (e.filter(F.col("vec_id") % 20 == 0)
+            .select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding"))
+    return e.unionAll(dups)
+
+
+def q_embedding_near_dups(spark, sf):
+    return simsearch.embedding_near_dups(_augmented_emb(spark, sf),
+                                         threshold=0.5)
+
+
+def q_ivf_cell_assignments(spark, sf):
+    return simsearch.ivf_cells(_t(spark, sf, "embeddings"), n_cells=16)
+
+
+def q_ivf_topk(spark, sf):                            # rows-only (np argmax
+    return simsearch.ivf_topk(_t(spark, sf, "embeddings"),  # probe policy)
+                              query_ids=list(range(10)), k=5,
+                              n_cells=16, n_probe=4)
+
+
 def q_multimodal_meta(spark, sf):
     d = _t(spark, sf, "documents").select(
         "doc_id", F.encode("text", "utf-8").alias("blob"))
@@ -319,6 +341,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts_by_lang": q_token_counts_by_lang,
         "ann_topk_cosine": q_ann_topk_cosine,
         "ann_lsh_buckets": q_ann_lsh_buckets,
+        "embedding_near_dups": q_embedding_near_dups,
+        "ivf_cell_assignments": q_ivf_cell_assignments,
+        "ivf_topk": q_ivf_topk,
         "multimodal_meta": q_multimodal_meta,
         "encode_documents_manifest": q_encode_documents_manifest,
         "codec_selection_report": q_codec_selection_report,
@@ -488,6 +513,31 @@ def oracle_sql() -> dict[str, str]:
                   FROM s)
             SELECT query_id, neighbor_id, sim, CAST(rnk AS BIGINT) AS rnk
             FROM r WHERE rnk <= 5
+        """,
+        "embedding_near_dups": """
+            WITH aug AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 1000000, embedding FROM embeddings
+              WHERE vec_id % 20 = 0)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 6) AS sim
+            FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                               CAST(b.embedding AS DOUBLE[])), 6) >= 0.5
+        """,
+        "ivf_cell_assignments": """
+            WITH c AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv
+                       FROM embeddings ORDER BY vec_id LIMIT 16),
+            s AS (SELECT e.vec_id, c.cell,
+                         round(list_cosine_similarity(
+                             CAST(e.embedding AS DOUBLE[]), c.cv), 6) AS sim
+                  FROM embeddings e CROSS JOIN c),
+            r AS (SELECT *, row_number() OVER (
+                     PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+                  FROM s)
+            SELECT vec_id, cell, sim FROM r WHERE rn = 1
         """,
         "multimodal_meta": """
             SELECT doc_id AS id,

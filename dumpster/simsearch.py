@@ -83,6 +83,133 @@ def brute_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
                     F.col("rnk").cast("long").alias("rnk")))
 
 
+def _cosine_expr(a, b):
+    """JVM-side cosine between two array<double> columns (zip_with +
+    aggregate): sequential double summation, which is what makes the DuckDB
+    ``list_cosine_similarity`` oracle agree to 6 dp."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    return dot / na / nb
+
+
+def embedding_near_dups(emb: DataFrame, threshold: float = 0.9,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine near-duplicate pairs: (id_a, id_b, sim) with sim ≥
+    threshold, id_a < id_b.
+
+    All-pairs self-join — bounded inputs only; at crawl scale feed it the
+    candidate pairs from ``lsh_bucket_candidates`` buckets instead of the
+    full table (this function is the exact verifier of that pipeline).
+    Cosine stays JVM-side (whole-stage codegen), no Python in the pair loop.
+    """
+    v = emb.select(F.col(id_col).alias("id"),
+                   F.col(vec_col).cast("array<double>").alias("v"))
+    a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    sim = F.round(_cosine_expr(F.col("va"), F.col("vb")), 6)
+    return (a.join(b, F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", sim.alias("sim"))
+            .filter(F.col("sim") >= threshold))
+
+
+def centroids_first_k(emb: DataFrame, n_cells: int, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic IVF coarse quantizer: the n_cells lowest-id vectors.
+    No kmeans fit — reproducible across runs/engines, which is what the
+    oracle parity needs; swap in trained centroids in production."""
+    rows = (emb.select(id_col, vec_col).orderBy(id_col).limit(n_cells)
+            .collect())
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    return ids, mat / norms[:, None]
+
+
+def ivf_cells(emb: DataFrame, n_cells: int = 16, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Map-side IVF cell assignment: (vec_id, cell, sim) where cell is the
+    centroid id with max cosine (ties → smaller centroid id).
+
+    One broadcast matmul per Arrow batch; no shuffle at all — the 10^12-row
+    side never moves, which is the IVF point.  Sims are rounded to 6 dp
+    BEFORE the argmax so the assignment is reproducible across engines.
+    """
+    cids, cmat = centroids_first_k(emb, n_cells, id_col, vec_col)
+
+    def assign(batches):
+        for batch in batches:
+            ids = batch.column(0).to_numpy()
+            mat = _as_matrix(batch.column(1))
+            if len(ids) == 0:
+                continue
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            sims = np.round((mat / norms[:, None]) @ cmat.T, 6)
+            best = np.argmax(sims, axis=1)      # first max = smallest cid
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, type=pa.int64()),
+                 pa.array(cids[best], type=pa.int64()),
+                 pa.array(sims[np.arange(len(ids)), best],
+                          type=pa.float64())],
+                names=["vec_id", "cell", "sim"])
+
+    return emb.select(id_col, vec_col).mapInArrow(
+        assign, "vec_id long, cell long, sim double")
+
+
+def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
+             n_cells: int = 16, n_probe: int = 4, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """Approximate cosine top-k: probe only each query's n_probe nearest
+    IVF cells, exact cosine within the probed candidates.
+
+    The cell id is the join key (one shuffle of the candidate subset, not
+    the full table); recall vs ``brute_topk`` rises with n_probe and hits
+    1.0 at n_probe = n_cells.
+    """
+    spark = emb.sparkSession
+    cids, cmat = centroids_first_k(emb, n_cells, id_col, vec_col)
+    qrows = (emb.filter(F.col(id_col).isin(query_ids))
+             .select(id_col, vec_col).collect())
+    probes = []
+    for r in qrows:
+        q = np.asarray(r[1], dtype=np.float64)
+        nq = np.linalg.norm(q) or 1.0
+        sims = np.round(q / nq @ cmat.T, 6)
+        order = np.lexsort((cids, -sims))[:n_probe]
+        probes += [(int(r[0]), int(cids[c])) for c in order]
+    probe_df = spark.createDataFrame(probes, "query_id long, cell long")
+
+    cells = ivf_cells(emb, n_cells, id_col, vec_col).select(id_col, "cell")
+    cand = (probe_df.join(cells, "cell")
+            .select("query_id", F.col(id_col).alias("neighbor_id"))
+            .filter(F.col("query_id") != F.col("neighbor_id")))
+    v = emb.select(F.col(id_col).alias("_id"),
+                   F.col(vec_col).cast("array<double>").alias("_v"))
+    qv = spark.createDataFrame(
+        [(int(r[0]), [float(x) for x in r[1]]) for r in qrows],
+        "query_id long, qv array<double>")
+    scored = (cand
+              .join(v.withColumnRenamed("_id", "neighbor_id")
+                     .withColumnRenamed("_v", "nv"), "neighbor_id")
+              .join(F.broadcast(qv), "query_id")
+              .select("query_id", "neighbor_id",
+                      F.round(_cosine_expr(F.col("qv"), F.col("nv")), 6)
+                      .alias("sim")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", "neighbor_id", "sim",
+                    F.col("rnk").cast("long").alias("rnk")))
+
+
 def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     """Deterministic pseudo-random hyperplanes (no wall-clock, no rand())."""
     rng = np.random.default_rng(seed)

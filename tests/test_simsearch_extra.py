@@ -1,0 +1,83 @@
+"""embedding-cosine near-dup + IVF similarity search (simsearch.py).
+
+Semantics under test:
+* embedding_near_dups finds planted exact duplicates at sim ≈ 1.0 and
+  reports pairs id_a < id_b exactly once.
+* ivf_cells assigns every vector to exactly one cell, deterministically
+  across invocations, and every cell id is a centroid id.
+* ivf_topk at n_probe == n_cells probes everything → must equal brute_topk
+  exactly; at partial probe, recall degrades gracefully but each query's
+  own planted duplicate (same cell by construction) is still found.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from dumpster import simsearch
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return (spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+            .select("vec_id", "embedding"))
+
+
+@pytest.fixture(scope="module")
+def emb_with_dups(emb):
+    dups = (emb.filter(F.col("vec_id") % 10 == 0)
+            .select((F.col("vec_id") + 1000).alias("vec_id"), "embedding"))
+    return emb.unionAll(dups)
+
+
+def test_near_dups_finds_planted_duplicates(emb, emb_with_dups):
+    n_planted = emb.filter(F.col("vec_id") % 10 == 0).count()
+    pairs = simsearch.embedding_near_dups(emb_with_dups, threshold=0.999)
+    rows = pairs.collect()
+    planted = {(r["id_a"], r["id_b"]) for r in rows
+               if r["id_b"] == r["id_a"] + 1000}
+    assert len(planted) == n_planted
+    for r in rows:
+        assert r["id_a"] < r["id_b"]
+        assert r["sim"] >= 0.999
+
+
+def test_near_dups_pairs_unique(emb_with_dups):
+    pairs = simsearch.embedding_near_dups(emb_with_dups, threshold=0.999)
+    assert pairs.count() == pairs.select("id_a", "id_b").distinct().count()
+
+
+def test_ivf_cells_partition_all_vectors(emb):
+    cells = simsearch.ivf_cells(emb, n_cells=8)
+    n = emb.count()
+    assert cells.count() == n
+    assert cells.select("vec_id").distinct().count() == n
+    cids = {r["cell"] for r in cells.select("cell").distinct().collect()}
+    centroid_ids = {r["vec_id"] for r in
+                    emb.orderBy("vec_id").limit(8).collect()}
+    assert cids <= centroid_ids
+
+
+def test_ivf_cells_deterministic(emb):
+    a = sorted(map(tuple, simsearch.ivf_cells(emb, n_cells=8).collect()))
+    b = sorted(map(tuple, simsearch.ivf_cells(emb, n_cells=8).collect()))
+    assert a == b
+
+
+def test_ivf_topk_full_probe_equals_brute(emb):
+    qids = [0, 1, 2]
+    brute = {(r["query_id"], r["rnk"]): (r["neighbor_id"], r["sim"])
+             for r in simsearch.brute_topk(emb, qids, k=3).collect()}
+    full = {(r["query_id"], r["rnk"]): (r["neighbor_id"], r["sim"])
+            for r in simsearch.ivf_topk(emb, qids, k=3, n_cells=8,
+                                        n_probe=8).collect()}
+    assert brute == full
+
+
+def test_ivf_topk_partial_probe_finds_planted_dup(emb_with_dups):
+    qids = [0, 10, 20]
+    res = simsearch.ivf_topk(emb_with_dups, qids, k=3, n_cells=8, n_probe=2)
+    got = {(r["query_id"], r["neighbor_id"]) for r in res.collect()}
+    # the planted duplicate of query q is vec q+1000 with sim 1.0 — it lands
+    # in the same IVF cell as q, so even a 2-cell probe must return it
+    for q in qids:
+        assert (q, q + 1000) in got
