@@ -28,7 +28,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-ROWS_PER_SF = 2_000_000
+ROWS_PER_SF = 8_000_000  # sf0.1 → 800k rows ≈ 2.3 GB logical: buckets of
+                         # ~6k rows amortize per-task/fixed costs the way
+                         # multi-GB partitions would at the real 10^12 scale
 N_BUCKETS = 128          # fixed across parallelism levels for scaling runs
 
 

@@ -81,7 +81,9 @@ def main():
 Input: {r32['rows']:,} rows ({r32['logical_bytes']/1e9:.2f} GB logical),
 seed 42, identical bytes at both parallelism levels (row-index-keyed
 generator).  Each level is a fresh process/JVM (`bench.py`), n_buckets
-fixed at 128 so the work units are identical; best of {trials} trials.
+fixed at 128 so the work units are identical; best of {trials}
+invocation(s) per level, each invocation itself best-of-3 encode trials
+(bench.py) to reject shared-host noise windows.
 
 ## Encode throughput & scaling (north_rule gate: efficiency ≥ 0.8)
 

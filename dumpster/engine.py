@@ -417,6 +417,11 @@ def decode_table(spark: SparkSession, out_dir: str,
         .repartition(min(len(files), par * 2))
 
     def reader(batches):
+        try:  # same per-worker pool pinning as the encoder (see _make_encoder)
+            pa.set_cpu_count(1)
+            pa.set_io_thread_count(1)
+        except Exception:
+            pass
         for b in batches:
             for fp in b.column(0).to_pylist():
                 with open(fp, "rb") as fh:
