@@ -185,7 +185,12 @@ def encode_chunk_pieces(batch: pa.RecordBatch, *, table_id: str = "t",
         # Iceberg manifest stats; decode_table prunes chunks with them
         vmin = vmax = None
         if vals is not None and len(dense):
-            vmin, vmax = vals.min().item(), vals.max().item()
+            if vals.dtype.kind == "f":
+                finite = vals[np.isfinite(vals)]
+                if len(finite):  # NaN/inf never poison the zone map
+                    vmin, vmax = finite.min().item(), finite.max().item()
+            else:
+                vmin, vmax = vals.min().item(), vals.max().item()
         vbm = np.packbits(valid, bitorder="little").tobytes() if valid is not None else b""
         desc = {"name": name, "codec": codec, "zlib": bool(zl), "kind": kind,
                 "meta": meta, "n_valid": len(dense)}
@@ -328,4 +333,7 @@ def _raw_size(dense: pa.Array, kind: str) -> int:
         offs = np.frombuffer(bufs[1], dtype=np.int64,
                              count=len(a) + 1, offset=a.offset * 8)
         return int(offs[-1] - offs[0]) + 8 * len(dense)
+    if kind == _KIND_LIST:
+        lengths, child = _list_parts(dense)
+        return int(lengths.sum()) * child.type.bit_width // 8 + 8 * len(dense)
     return len(dense) * 8

@@ -81,7 +81,26 @@ def _candidates_fixed(vals: np.ndarray) -> tuple[int, ...]:
 
 def select_encode_fixed(vals: np.ndarray, seed: int,
                         allow_zlib: bool = True) -> tuple[int, bool, bytes, dict, dict]:
-    """Returns (codec_id, zlibbed, payload, meta, selection_info)."""
+    """Returns (codec_id, zlibbed, payload, meta, selection_info).
+
+    Float arrays are encoded as their IEEE-754 bit pattern viewed as
+    integers: value-level float codecs collapse distinct NaN payloads
+    (``np.unique`` treats every NaN as equal), which breaks the bit-identity
+    round-trip contract.  The bit view is exact for every float — NaN
+    payloads, signed zeros, infinities — and opens the integer codec menu
+    (FOR keeps float32 bits at ≤ 4 bytes/value despite the int64 bridge).
+    """
+    if vals.dtype.kind == "f":
+        fstr = vals.dtype.str
+        if vals.dtype.itemsize == 8:
+            bits = vals.view(np.int64)
+        else:
+            bits = vals.view(f"u{vals.dtype.itemsize}").astype(np.int64)
+        codec, zl, payload, meta, info = select_encode_fixed(
+            bits, seed, allow_zlib)
+        meta = dict(meta)
+        meta["__f"] = fstr
+        return codec, zl, payload, meta, info
     n = len(vals)
     cands = _candidates_fixed(vals)
     idx = _sample_idx(n, seed)
@@ -162,7 +181,15 @@ def decode_fixed(codec: int, zlibbed: bool, payload, meta: dict,
     payload = _as_bytes(payload)
     if zlibbed:
         payload = zlib.decompress(payload)
-    return _DEC_FIXED[codec](payload, meta, n)
+    out = _DEC_FIXED[codec](payload, meta, n)
+    fstr = meta.get("__f")
+    if fstr:  # restore the float bit pattern (see select_encode_fixed)
+        dt = np.dtype(fstr)
+        if dt.itemsize == 8:
+            out = np.ascontiguousarray(out).view(np.float64)
+        else:
+            out = out.astype(f"u{dt.itemsize}").view(dt)
+    return out
 
 
 def decode_var(codec: int, zlibbed: bool, payload, meta: dict,

@@ -1,0 +1,79 @@
+"""Property-based round-trip tests for the codec layer (hypothesis).
+
+The pytest suites in test_codecs.py cover hand-picked adversarial cases;
+these properties let hypothesis search the space: any int64 array, any
+float array (NaN/±inf included), any list of byte strings (non-UTF8,
+empty, long) must survive select→encode→decode bit-identically, under
+every seed (codec choice must never affect correctness).
+"""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings, strategies as st
+
+from dumpster.chunk import decode_chunk, encode_chunk
+from dumpster.codecs import (decode_fixed, decode_var, select_encode_fixed,
+                             select_encode_var)
+from dumpster.codecs.base import offsets_from_lengths
+
+I64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(I64, max_size=300), st.integers(0, 2**32 - 1))
+def test_fixed_int_roundtrip(vals, seed):
+    arr = np.array(vals, dtype=np.int64)
+    codec, zl, payload, meta, _ = select_encode_fixed(arr, seed)
+    out = decode_fixed(codec, zl, payload, meta, len(arr))
+    assert out.dtype == np.int64
+    assert np.array_equal(out, arr)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.floats(allow_nan=True, allow_infinity=True,
+                          width=64), max_size=200),
+       st.integers(0, 2**32 - 1))
+def test_fixed_float_roundtrip_bitwise(vals, seed):
+    arr = np.array(vals, dtype=np.float64)
+    codec, zl, payload, meta, _ = select_encode_fixed(arr, seed)
+    out = decode_fixed(codec, zl, payload, meta, len(arr))
+    # bitwise equality: NaN payload bits must survive too
+    assert np.array_equal(out.view(np.uint64), arr.view(np.uint64))
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.binary(max_size=400), max_size=120),
+       st.integers(0, 2**32 - 1))
+def test_var_bytes_roundtrip(items, seed):
+    data = b"".join(items)
+    offsets = offsets_from_lengths(
+        np.array([len(b) for b in items], dtype=np.int64))
+    codec, zl, payload, meta, _ = select_encode_var(data, offsets, seed)
+    out_data, out_offs = decode_var(codec, zl, payload, meta, len(items))
+    assert bytes(out_data) == data
+    assert np.array_equal(out_offs, offsets)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(
+    st.tuples(st.one_of(st.none(), st.binary(max_size=60)),
+              st.one_of(st.none(), I64),
+              st.one_of(st.none(), st.text(max_size=30))),
+    max_size=80),
+    st.integers(0, 10**6))
+def test_chunk_roundtrip_with_nulls(rows, seq):
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array([r[0] for r in rows], type=pa.binary()),
+         pa.array([r[1] for r in rows], type=pa.int64()),
+         pa.array([r[2] for r in rows], type=pa.string())],
+        names=["b", "i", "s"])
+    blob, _ = encode_chunk(batch, table_id="prop", bucket=0, chunk_seq=seq)
+    out = decode_chunk(blob)
+
+    def ipc(b):
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_stream(sink, b.schema) as w:
+            w.write_batch(b)
+        return sink.getvalue().to_pybytes()
+
+    assert ipc(out) == ipc(batch)
