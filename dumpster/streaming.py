@@ -84,6 +84,46 @@ def stream_manifest(spark: SparkSession, out_dir: str) -> DataFrame:
     return out
 
 
+def stateful_offset_dedup(stream_df: DataFrame,
+                          partition_col: str = "part",
+                          offset_col: str = "off"):
+    """F1's replay dedup across micro-batches, as a custom stateful
+    operator (``applyInPandasWithState``).
+
+    The reference keeps a per-Kafka-partition ``lastOffset`` ledger in
+    memory and drops any record at or below it
+    (HourlyBasedPartitioner.java:184-205 gating consume() at :42-48); its
+    ledger dies with the process and relies on replay+filter after
+    restarts.  Here the ledger IS managed streaming state: grouped by
+    partition, each micro-batch's rows are compared against the
+    checkpointed max offset, survivors advance it, and the state survives
+    restarts with the checkpoint.  Emits only first-seen rows.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{partition_col} long, {offset_col} long"
+
+    def dedup(key, pdfs, state: GroupState):
+        last = state.get[0] if state.exists else -1
+        outs = []
+        for pdf in pdfs:
+            offs = pdf[offset_col]
+            keep = pdf[offs > last]
+            if len(keep):
+                last = int(keep[offset_col].max())
+                outs.append(keep[[partition_col, offset_col]])
+        state.update((last,))
+        yield (pd.concat(outs) if outs
+               else pd.DataFrame({partition_col: pd.Series(dtype="int64"),
+                                  offset_col: pd.Series(dtype="int64")}))
+
+    return (stream_df.groupBy(partition_col).applyInPandasWithState(
+        dedup, outputStructType=out_schema, stateStructType="last long",
+        outputMode="append", timeoutConf=GroupStateTimeout.NoTimeout))
+
+
 def hourly_windowed_counts(stream_df: DataFrame, ts_col: str = "warc_ts",
                            watermark: str = "2 hours") -> DataFrame:
     """G1+G4 as Structured Streaming: event-time hourly windows closed by a

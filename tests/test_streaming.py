@@ -59,3 +59,38 @@ def test_hourly_windowed_counts_with_watermark(spark, tmp_path):
     # batch-side oracle: same windows from the static frame
     want = (pages.groupBy(F.window("warc_ts", "1 hour")).count().count())
     assert len(got) == want
+
+
+def test_stateful_offset_dedup_across_batches(spark, tmp_path):
+    """State (the per-partition lastOffset ledger) must survive BETWEEN
+    micro-batches: batch 2 replays offsets already seen in batch 1 and
+    they must be dropped, while genuinely new offsets pass."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dumpster.streaming import stateful_offset_dedup
+
+    src = tmp_path / "src"
+    src.mkdir()
+    b1 = pa.table({"part": [0] * 5, "off": [1, 2, 3, 4, 5]})
+    b2 = pa.table({"part": [0] * 5 + [1] * 2,
+                   "off": [3, 4, 5, 6, 7, 1, 2]})  # 3-5 are replays
+    pq.write_table(b1, src / "f1.parquet")
+    time.sleep(1.1)  # file source orders batches by modification time
+    pq.write_table(b2, src / "f2.parquet")
+
+    stream = (spark.readStream.schema("part long, off long")
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    q = (stateful_offset_dedup(stream, "part", "off")
+         .writeStream.format("memory").queryName("dedup_out")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = {(r["part"], r["off"])
+           for r in spark.table("dedup_out").collect()}
+    want = {(0, o) for o in range(1, 8)} | {(1, 1), (1, 2)}
+    assert got == want
