@@ -304,6 +304,22 @@ def q_roundtrip_zero_mismatch(spark, sf):
                                  "missing_rows long, extra_rows long")
 
 
+def q_zone_pruned_scan(spark, sf):
+    """Zone-map pruning end-to-end: encode ordered by doc_id, decode with a
+    manifest zone filter (whole chunks skipped before any file is opened),
+    apply the exact predicate, and the result must equal a plain WHERE —
+    which is exactly what the DuckDB oracle runs."""
+    docs = _t(spark, sf, "documents")
+    out = tempfile.mkdtemp(prefix="dumpster_q_zone_")
+    encode_table(docs, out,
+                 bucket_expr=F.pmod(F.xxhash64("doc_id"), F.lit(4)).cast("int"),
+                 n_buckets=4, chunk_rows=64, order_cols=("doc_id",),
+                 table_id="documents_zone")
+    dec = decode_table(spark, out, zone_filter=("doc_id", 100, 199))
+    return (dec.filter(F.col("doc_id").between(100, 199))
+            .select("doc_id", "lang", "source"))
+
+
 def q_embeddings_roundtrip(spark, sf):
     """list<float> columns through the codec layer (rows-only)."""
     emb = _t(spark, sf, "embeddings")
@@ -348,6 +364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encode_documents_manifest": q_encode_documents_manifest,
         "codec_selection_report": q_codec_selection_report,
         "roundtrip_zero_mismatch": q_roundtrip_zero_mismatch,
+        "zone_pruned_scan": q_zone_pruned_scan,
         "embeddings_roundtrip": q_embeddings_roundtrip,
     }
 
@@ -550,6 +567,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "roundtrip_zero_mismatch": """
             SELECT CAST(0 AS BIGINT) AS missing_rows, CAST(0 AS BIGINT) AS extra_rows
+        """,
+        "zone_pruned_scan": """
+            SELECT doc_id, lang, source FROM documents
+            WHERE doc_id BETWEEN 100 AND 199
         """,
         "embeddings_roundtrip": """
             SELECT CAST(0 AS BIGINT) AS missing_rows, CAST(0 AS BIGINT) AS extra_rows

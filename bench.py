@@ -100,6 +100,11 @@ def main():
     enc_trials, dec_trials = [], []
     out = None
     for t in range(trials):
+        # early stop: two mutually-confirming trials mean no noise window —
+        # a third adds wall-clock without information
+        if len(enc_trials) >= 2 \
+                and sorted(enc_trials)[1] <= 1.25 * sorted(enc_trials)[0]:
+            break
         if out is not None:
             shutil.rmtree(out, ignore_errors=True)
         out = tempfile.mkdtemp(prefix="dumpster_bench_enc_")
