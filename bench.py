@@ -123,6 +123,14 @@ def main():
     timings["encode_pages"] = min(enc_trials)
     timings["decode_pages"] = min(dec_trials)
 
+    # column-pruned decode: only `lang` is decompressed; html/text payloads
+    # are skipped inside the chunk container (the engine's analog of
+    # Parquet column pruning — PLANS.md shows the scan-side equivalent)
+    t0 = time.perf_counter()
+    (decode_table(spark, out, columns=["lang"])
+     .groupBy("lang").count().collect())
+    timings["decode_lang_column_only"] = time.perf_counter() - t0
+
     # --- reference sink: Parquet with the reference writer settings ---------
     ref_dir = tempfile.mkdtemp(prefix="dumpster_bench_ref_")
     t0 = time.perf_counter()

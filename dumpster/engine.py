@@ -324,11 +324,15 @@ def encode_table(df: DataFrame, out_dir: str, *, url_col: str | None = None,
 
 def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame:
     mdir = os.path.join(out_dir, "manifest")
-    files = [os.path.join(mdir, f) for f in sorted(os.listdir(mdir))] \
-        if os.path.isdir(mdir) else []
-    if not files:
+    has_any = os.path.isdir(mdir) and any(
+        f.startswith("b") and f.endswith(".parquet") for f in os.listdir(mdir))
+    if not has_any:
         return spark.createDataFrame([], MANIFEST_DDL)
-    return spark.read.parquet(*files)
+    # one directory listing, not N file paths: planning N separate relations
+    # dominates decode setup once buckets number in the hundreds; the glob
+    # filter keeps half-written *.tmp files (crash leftovers) out
+    return (spark.read.option("pathGlobFilter", "b*.parquet")
+            .schema(MANIFEST_DDL).parquet(mdir))
 
 
 def table_schema(out_dir: str) -> StructType:

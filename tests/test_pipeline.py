@@ -92,3 +92,27 @@ def test_prep_for_encode_is_bucket_contiguous(spark):
                 prev = b
         return iter([])
     prepped.rdd.mapPartitionsWithIndex(per_part).count()
+
+
+def test_salting_bounds_host_skew(spark):
+    """The zipf head host pins one bucket without salting; with salt_k the
+    hot host spreads over salt_k buckets and the max/mean bucket size must
+    come down accordingly (this is the explicit skew-handling knob the
+    scale design relies on)."""
+    from dumpster.pipeline import salted_bucket
+    from dumpster.synth import synth_pages
+
+    pages = synth_pages(spark, 20000, seed=3).select("url")
+
+    def max_over_mean(salt_k):
+        sizes = (pages.withColumn(
+            "b", salted_bucket("url", n_buckets=32, salt_k=salt_k))
+            .groupBy("b").count().collect())
+        counts = [r["count"] for r in sizes]
+        return max(counts) / (sum(counts) / len(counts))
+
+    unsalted = max_over_mean(1)
+    salted = max_over_mean(8)
+    assert unsalted > 3.0          # the zipf head really is a hot bucket
+    assert salted < unsalted / 2   # salting spreads it
+    assert salted < 3.0
