@@ -43,6 +43,13 @@ _KIND_INT = "i"      # ints / bool / timestamp / date → int64
 _KIND_FLOAT = "f"    # float32/float64 native
 _KIND_VAR = "v"      # string/binary → (data, offsets)
 _KIND_LIST = "l"     # list<numeric> (e.g. embeddings) → lengths + child
+_KIND_DECIMAL = "d"  # decimal128 → (lo: uint64, hi: int64) column pair
+_KIND_LISTVAR = "w"  # list<string|binary> → lengths + var child
+
+
+def _is_var(t: pa.DataType) -> bool:
+    return (pa.types.is_string(t) or pa.types.is_large_string(t)
+            or pa.types.is_binary(t) or pa.types.is_large_binary(t))
 
 
 def _kind_of(t: pa.DataType) -> str:
@@ -52,14 +59,31 @@ def _kind_of(t: pa.DataType) -> str:
         return _KIND_INT
     if pa.types.is_floating(t):
         return _KIND_FLOAT
-    if (pa.types.is_string(t) or pa.types.is_large_string(t)
-            or pa.types.is_binary(t) or pa.types.is_large_binary(t)):
+    if _is_var(t):
         return _KIND_VAR
-    if (pa.types.is_list(t) or pa.types.is_large_list(t)) and (
-            pa.types.is_integer(t.value_type)
-            or pa.types.is_floating(t.value_type)):
-        return _KIND_LIST
+    if pa.types.is_decimal128(t):
+        return _KIND_DECIMAL
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        if (pa.types.is_integer(t.value_type)
+                or pa.types.is_floating(t.value_type)):
+            return _KIND_LIST
+        if _is_var(t.value_type):
+            return _KIND_LISTVAR
     raise TypeError(f"unsupported column type for codec layer: {t}")
+
+
+def _decimal_parts(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """decimal128 → (lo: int64 bit view, hi: int64) halves.
+
+    The 16-byte little-endian two's-complement values split into two int64
+    columns: ``hi`` is all 0/-1 for every decimal that fits 64 bits (i.e.
+    virtually always), so RLE reduces it to a handful of bytes while ``lo``
+    gets the normal integer codec menu — the reference's parquet-avro sink
+    stores the same values as FIXED_LEN_BYTE_ARRAY with no such split
+    (AvroToHive.java:29-37 passes types through untouched)."""
+    raw = np.frombuffer(arr.buffers()[1], dtype=np.uint64,
+                        count=2 * len(arr), offset=arr.offset * 16)
+    return raw[0::2].view(np.int64), raw[1::2].view(np.int64)
 
 
 def _list_parts(arr: pa.Array) -> tuple[np.ndarray, pa.Array]:
@@ -165,6 +189,38 @@ def encode_chunk_pieces(batch: pa.RecordBatch, *, table_id: str = "t",
             payload = [lp, *_pieces(cpayload)]
             meta = {"lens": lmeta, "lpn": len(lp), "child": cmeta,
                     "cn": int(len(cvals))}
+        elif kind == _KIND_DECIMAL:
+            lo, hi = _decimal_parts(dense)
+            if plain_only:
+                from .codecs.plain import encode_plain_fixed
+                codec, zl = PLAIN_ID, False
+                lop, lometa = encode_plain_fixed(lo)
+                hic, hizl = PLAIN_ID, False
+                hip, himeta = encode_plain_fixed(hi)
+            else:
+                codec, zl, lop, lometa, _ = select_encode_fixed(
+                    np.ascontiguousarray(lo), seed, allow_zlib)
+                hic, hizl, hip, himeta, _ = select_encode_fixed(
+                    np.ascontiguousarray(hi), seed + 1, allow_zlib)
+            lop_pieces, hip_pieces = _pieces(lop), _pieces(hip)
+            payload = [*lop_pieces, *hip_pieces]
+            meta = {"lo": lometa, "lon": sum(len(p) for p in lop_pieces),
+                    "hi": himeta, "hic": hic, "hizl": bool(hizl)}
+        elif kind == _KIND_LISTVAR:
+            lengths, child = _list_parts(dense)
+            cdata, coffs = _var_parts(child)
+            from .codecs.base import pack_lengths
+            lp, lmeta = pack_lengths(lengths)
+            if plain_only:
+                from .codecs.plain import encode_plain_var
+                codec, zl = PLAIN_ID, False
+                cpayload, cmeta = encode_plain_var(cdata, coffs)
+            else:
+                codec, zl, cpayload, cmeta, _ = select_encode_var(
+                    cdata, coffs, seed, allow_zlib)
+            payload = [lp, *_pieces(cpayload)]
+            meta = {"lens": lmeta, "lpn": len(lp), "child": cmeta,
+                    "cn": int(len(child))}
         else:
             if kind == _KIND_INT:
                 vals = np.asarray(dense.cast(_int64_view_type(arr.type)))
@@ -266,6 +322,45 @@ def _decode_column(desc: dict, vbm: bytes, payload: bytes, n_rows: int,
     if vbm:
         valid = np.unpackbits(np.frombuffer(vbm, dtype=np.uint8),
                               count=n_rows, bitorder="little").astype(bool)
+    if kind == _KIND_DECIMAL:
+        lon = meta["lon"]
+        lo = decode_fixed(codec, zl, payload[:lon], meta["lo"], n_valid)
+        hi = decode_fixed(meta["hic"], meta["hizl"], payload[lon:],
+                          meta["hi"], n_valid)
+        dense16 = np.empty(2 * n_valid, dtype=np.uint64)
+        dense16[0::2] = lo.view(np.uint64)
+        dense16[1::2] = hi.view(np.uint64)
+        if valid is not None:
+            full16 = np.zeros(2 * n_rows, dtype=np.uint64)
+            mask = np.repeat(valid, 2)
+            full16[mask] = dense16
+        else:
+            full16 = dense16
+        return pa.Array.from_buffers(
+            target_type, n_rows,
+            [_vbuf(valid), pa.py_buffer(full16.tobytes())],
+            null_count=-1 if valid is not None else 0)
+    if kind == _KIND_LISTVAR:
+        from .codecs.base import offsets_from_lengths, unpack_lengths
+        lpn = meta["lpn"]
+        lengths = unpack_lengths(payload[:lpn], meta["lens"])
+        cdata, coffs = decode_var(codec, zl, payload[lpn:], meta["child"],
+                                  meta["cn"])
+        child_type = target_type.value_type
+        child = pa.Array.from_buffers(
+            pa.large_binary(), meta["cn"],
+            [None, pa.py_buffer(coffs.astype(np.int64).tobytes()),
+             pa.py_buffer(cdata)]).cast(child_type)
+        if valid is not None:
+            full_lens = np.zeros(n_rows, dtype=np.int64)
+            full_lens[valid] = lengths
+            lengths = full_lens
+        offs = offsets_from_lengths(lengths).astype(np.int32)
+        arr = pa.Array.from_buffers(
+            pa.list_(child_type), n_rows,
+            [_vbuf(valid), pa.py_buffer(offs.tobytes())],
+            null_count=-1 if valid is not None else 0, children=[child])
+        return arr.cast(target_type)
     if kind == _KIND_LIST:
         from .codecs.base import offsets_from_lengths, unpack_lengths
         lpn = meta["lpn"]
@@ -336,4 +431,10 @@ def _raw_size(dense: pa.Array, kind: str) -> int:
     if kind == _KIND_LIST:
         lengths, child = _list_parts(dense)
         return int(lengths.sum()) * child.type.bit_width // 8 + 8 * len(dense)
+    if kind == _KIND_LISTVAR:
+        _, child = _list_parts(dense)
+        cdata, _ = _var_parts(child)
+        return len(cdata) + 8 * len(dense)
+    if kind == _KIND_DECIMAL:
+        return 16 * len(dense)
     return len(dense) * 8
