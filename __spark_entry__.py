@@ -320,6 +320,28 @@ def q_zone_pruned_scan(spark, sf):
             .select("doc_id", "lang", "source"))
 
 
+def q_tpch_q1_via_engine(spark, sf):
+    """TPC-H Q1 pricing summary computed on a table that has been encoded
+    through the codec engine and decoded back — a reference user's own
+    parquet table surviving the engine as a drop-in store.  Aggregation in
+    exact decimal (float summation order differs between engines) with a
+    single final cast to double for the portable hash."""
+    li = _t(spark, sf, "lineitem")
+    out = tempfile.mkdtemp(prefix="dumpster_q_tpch_")
+    encode_table(li, out,
+                 bucket_expr=F.pmod(F.xxhash64("l_orderkey"), F.lit(8))
+                 .cast("int"),
+                 n_buckets=8, chunk_rows=16384, table_id="lineitem_q1")
+    dec = decode_table(spark, out)
+    d = lambda c: F.col(c).cast("decimal(20,4)")
+    return (dec.filter(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(d("l_quantity")).cast("double").alias("sum_qty"),
+                 F.sum(d("l_extendedprice")).cast("double")
+                 .alias("sum_base_price"),
+                 F.count("*").cast("long").alias("count_order")))
+
+
 def q_embeddings_roundtrip(spark, sf):
     """list<float> columns through the codec layer (rows-only)."""
     emb = _t(spark, sf, "embeddings")
@@ -365,6 +387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_selection_report": q_codec_selection_report,
         "roundtrip_zero_mismatch": q_roundtrip_zero_mismatch,
         "zone_pruned_scan": q_zone_pruned_scan,
+        "tpch_q1_via_engine": q_tpch_q1_via_engine,
         "embeddings_roundtrip": q_embeddings_roundtrip,
     }
 
@@ -571,6 +594,15 @@ def oracle_sql() -> dict[str, str]:
         "zone_pruned_scan": """
             SELECT doc_id, lang, source FROM documents
             WHERE doc_id BETWEEN 100 AND 199
+        """,
+        "tpch_q1_via_engine": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_base_price,
+                   CAST(count(*) AS BIGINT) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
         """,
         "embeddings_roundtrip": """
             SELECT CAST(0 AS BIGINT) AS missing_rows, CAST(0 AS BIGINT) AS extra_rows
