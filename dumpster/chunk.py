@@ -3,16 +3,26 @@
 Where the reference hands rows to parquet-avro and lets it produce pages
 (reference: RecordWriter.java:27-34, 256 MiB row groups / 64 KiB pages set
 at HourlyBasedRecordConsumer.java:161-162), this engine serialises one
-Arrow RecordBatch per chunk into a self-describing binary container:
+Arrow RecordBatch per chunk into a self-describing binary container
+(format v2, "DMC2"):
 
-    b"DMC1"
-    u32 schema_len | Arrow IPC schema bytes        (exact type round-trip)
-    u32 n_cols | u64 n_rows
-    per column:
+    b"DMC2"
+    header: u32 schema_len | Arrow IPC schema bytes | u32 n_cols | u64 n_rows
+    per column section:
         u32 desc_len | desc JSON {name, codec, zlib, kind, meta, ...}
         u32 vbm_len  | validity bitmap (LSB-first packbits; absent if 0)
         u64 payload_len | codec payload
-    u32 crc32 (of everything after the magic)
+    footer JSON: {"h": [hdr_len, hdr_crc], "cols": [[name, off, len, crc]..]}
+    u32 footer_len | u32 footer_crc | b"2DMC"
+
+The footer is the column index: a pruned scan reads the 12-byte tail, the
+footer, the header, and ONLY the byte ranges of requested columns
+(decode_chunk_file) — the engine's analog of Parquet column chunks /
+Iceberg split offsets.  At 100-TB scale a one-column scan therefore reads
+~the column's share of the bytes, not the whole table; integrity is
+per-section crc32 so ranged reads stay verifiable without touching the
+rest of the file.  (v1 "DMC1" blobs — single trailing whole-file crc —
+remain readable for compatibility.)
 
 Codec shapes (codecs/base.py): integer-family columns (ints, bool,
 timestamp, date) normalise to int64 — frame-of-reference bit-packing
@@ -37,7 +47,10 @@ from .codecs import (CODEC_NAMES, decode_fixed, decode_var,
                      select_encode_fixed, select_encode_var, stable_seed)
 from .codecs import PLAIN as PLAIN_ID
 
-MAGIC = b"DMC1"
+MAGIC = b"DMC1"          # v1: single whole-file trailing crc (read-only)
+MAGIC2 = b"DMC2"         # v2: per-section crc + footer column index
+TAIL_MAGIC = b"2DMC"
+_TAIL_LEN = 12           # u32 footer_len | u32 footer_crc | b"2DMC"
 
 _KIND_INT = "i"      # ints / bool / timestamp / date → int64
 _KIND_FLOAT = "f"    # float32/float64 native
@@ -144,16 +157,20 @@ def encode_chunk_pieces(batch: pa.RecordBatch, *, table_id: str = "t",
     """
     n_rows = batch.num_rows
     schema_bytes = batch.schema.serialize().to_pybytes()
-    out: list = [MAGIC]
+    out: list = [MAGIC2]
+    pos = 4
     crc = 0
 
     def put(piece):
-        nonlocal crc
+        nonlocal crc, pos
         out.append(piece)
         crc = zlib.crc32(piece, crc)
+        pos += len(piece)
 
-    put(struct.pack("<I", len(schema_bytes)) + schema_bytes)
-    put(struct.pack("<IQ", batch.num_columns, n_rows))
+    put(struct.pack("<I", len(schema_bytes)) + schema_bytes
+        + struct.pack("<IQ", batch.num_columns, n_rows))
+    hdr_len, hdr_crc = pos - 4, crc & 0xFFFFFFFF
+    index: list = []
     stats = []
     for name, col in zip(batch.schema.names, batch.columns):
         arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
@@ -251,17 +268,23 @@ def encode_chunk_pieces(batch: pa.RecordBatch, *, table_id: str = "t",
         desc = {"name": name, "codec": codec, "zlib": bool(zl), "kind": kind,
                 "meta": meta, "n_valid": len(dense)}
         desc_b = json.dumps(desc, separators=(",", ":")).encode()
+        sec_start, crc = pos, 0   # per-section crc → verifiable ranged reads
         put(struct.pack("<I", len(desc_b)) + desc_b)
         put(struct.pack("<I", len(vbm)) + vbm)
         put(struct.pack("<Q", plen))
         for p in pieces:
             put(p)
+        index.append([name, sec_start, pos - sec_start, crc & 0xFFFFFFFF])
         stats.append({"column": name, "codec": CODEC_NAMES[codec],
                       "zlib": bool(zl), "raw_bytes": raw_bytes,
                       "encoded_bytes": plen + len(desc_b) + len(vbm) + 16,
                       "n_nulls": int(arr.null_count),
                       "vmin": vmin, "vmax": vmax})
-    out.append(struct.pack("<I", crc & 0xFFFFFFFF))
+    footer = json.dumps({"h": [hdr_len, hdr_crc], "cols": index},
+                        separators=(",", ":")).encode()
+    out.append(footer)
+    out.append(struct.pack("<II", len(footer), zlib.crc32(footer) & 0xFFFFFFFF)
+               + TAIL_MAGIC)
     return out, stats
 
 
@@ -276,12 +299,18 @@ def encode_chunk(batch: pa.RecordBatch, *, table_id: str = "t",
                     for p in pieces), stats
 
 
-def decode_chunk(blob: bytes, columns: list[str] | None = None) -> pa.RecordBatch:
-    """Decode a chunk container; ``columns`` prunes decode work per column
-    (non-requested payloads are skipped without decompression — the codec
-    layer's analog of Parquet column pruning)."""
-    if blob[:4] != MAGIC:
-        raise ValueError("bad chunk magic")
+def _assemble(arrays, names, schema, columns) -> pa.RecordBatch:
+    if columns is None:
+        return pa.RecordBatch.from_arrays(arrays, schema=schema)
+    order = {n: i for i, n in enumerate(names)}
+    sel = [c for c in columns if c in order]
+    fields = [schema.field(c) for c in sel]
+    return pa.RecordBatch.from_arrays([arrays[order[c]] for c in sel],
+                                      schema=pa.schema(fields))
+
+
+def _decode_v1(blob, columns) -> pa.RecordBatch:
+    """v1 "DMC1" container: single trailing whole-file crc."""
     body = blob[4:-4]
     (crc,) = struct.unpack("<I", blob[-4:])
     if zlib.crc32(body) & 0xFFFFFFFF != crc:
@@ -305,13 +334,100 @@ def decode_chunk(blob: bytes, columns: list[str] | None = None) -> pa.RecordBatc
         field = schema.field(desc["name"])
         arrays.append(_decode_column(desc, vbm, payload, n_rows, field.type))
         names.append(desc["name"])
-    if columns is None:
-        return pa.RecordBatch.from_arrays(arrays, schema=schema)
-    order = {n: i for i, n in enumerate(names)}
-    sel = [c for c in columns if c in order]
-    fields = [schema.field(c) for c in sel]
-    return pa.RecordBatch.from_arrays([arrays[order[c]] for c in sel],
-                                      schema=pa.schema(fields))
+    return _assemble(arrays, names, schema, columns)
+
+
+def _decode_v2(read, size: int, columns) -> pa.RecordBatch:
+    """v2 decode over a ``read(off, n) -> bytes`` callable — the same code
+    path serves in-memory blobs and ranged file/object-store reads."""
+    tail = read(size - _TAIL_LEN, _TAIL_LEN)
+    if tail[8:] != TAIL_MAGIC:
+        raise ValueError("bad chunk tail magic")
+    flen, fcrc = struct.unpack("<II", tail[:8])
+    foot_b = read(size - _TAIL_LEN - flen, flen)
+    if zlib.crc32(foot_b) & 0xFFFFFFFF != fcrc:
+        raise ValueError("chunk footer crc mismatch")
+    footer = json.loads(foot_b)
+    hdr_len, hdr_crc = footer["h"]
+    hdr = read(4, hdr_len)
+    if zlib.crc32(hdr) & 0xFFFFFFFF != hdr_crc:
+        raise ValueError("chunk header crc mismatch")
+    (schema_len,) = struct.unpack_from("<I", hdr, 0)
+    schema = pa.ipc.read_schema(pa.BufferReader(hdr[4:4 + schema_len]))
+    _, n_rows = struct.unpack_from("<IQ", hdr, 4 + schema_len)
+    arrays, names = [], []
+    for name, off, ln, crc in footer["cols"]:
+        if columns is not None and name not in columns:
+            continue
+        sec = read(off, ln)
+        if zlib.crc32(sec) & 0xFFFFFFFF != crc:
+            raise ValueError(f"chunk crc mismatch in column {name!r}")
+        p = 0
+        (dlen,) = struct.unpack_from("<I", sec, p); p += 4
+        desc = json.loads(sec[p:p + dlen]); p += dlen
+        (vlen,) = struct.unpack_from("<I", sec, p); p += 4
+        vbm = sec[p:p + vlen]; p += vlen
+        (plen,) = struct.unpack_from("<Q", sec, p); p += 8
+        payload = sec[p:p + plen]
+        arrays.append(_decode_column(desc, vbm, payload, n_rows,
+                                     schema.field(name).type))
+        names.append(name)
+    return _assemble(arrays, names, schema, columns)
+
+
+def decode_chunk(blob: bytes, columns: list[str] | None = None) -> pa.RecordBatch:
+    """Decode a chunk container; ``columns`` prunes decode work per column
+    (non-requested payloads are skipped without decompression).  For
+    on-disk chunks prefer decode_chunk_file, which also prunes the I/O."""
+    if blob[:4] == MAGIC:
+        return _decode_v1(blob, columns)
+    if blob[:4] != MAGIC2:
+        raise ValueError("bad chunk magic")
+    return _decode_v2(lambda off, n: blob[off:off + n], len(blob), columns)
+
+
+TAIL_PREFETCH = 64 * 1024  # one ranged GET usually covers tail+footer
+
+
+def decode_chunk_file(path: str, columns: list[str] | None = None,
+                      *, bytes_read: list | None = None) -> pa.RecordBatch:
+    """Decode a chunk file; with ``columns`` only the footer, header, and
+    the requested columns' byte ranges are read from disk (Parquet-style
+    column-chunk I/O pruning via the v2 footer index).  ``bytes_read``, if
+    given, is appended the number of bytes actually read (scan metric).
+    """
+    import os as _os
+    with open(path, "rb") as f:
+        size = _os.fstat(f.fileno()).st_size
+        if columns is None or size < _TAIL_LEN + 4:
+            blob = f.read()
+            if bytes_read is not None:
+                bytes_read.append(len(blob))
+            return decode_chunk(blob, columns)
+        # serve tail + footer from one prefetched block; column sections
+        # via individual ranged reads
+        tail_off = max(0, size - TAIL_PREFETCH)
+        f.seek(tail_off)
+        tail_block = f.read()
+        if tail_block[-4:] != TAIL_MAGIC:     # v1 file: no index, full read
+            f.seek(0)
+            blob = f.read()
+            if bytes_read is not None:
+                bytes_read.append(len(blob))
+            return decode_chunk(blob, columns)
+        n_read = [len(tail_block)]
+
+        def read(off: int, n: int) -> bytes:
+            if off >= tail_off:
+                return tail_block[off - tail_off:off - tail_off + n]
+            f.seek(off)
+            n_read[0] += n
+            return f.read(n)
+
+        batch = _decode_v2(read, size, columns)
+        if bytes_read is not None:
+            bytes_read.append(n_read[0])
+        return batch
 
 
 def _decode_column(desc: dict, vbm: bytes, payload: bytes, n_rows: int,

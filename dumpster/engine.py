@@ -93,7 +93,7 @@ def _rebuild_df(df: DataFrame, logical: StructType) -> DataFrame:
     return df.select(*[rec(f.dataType, f.name).alias(f.name)
                        for f in logical.fields])
 
-from .chunk import decode_chunk, encode_chunk_pieces
+from .chunk import decode_chunk_file, encode_chunk_pieces
 from .pipeline import prep_for_encode
 
 DEFAULT_CHUNK_ROWS = 65536
@@ -420,6 +420,10 @@ def decode_table(spark: SparkSession, out_dir: str,
     fdf = spark.createDataFrame([(f,) for f in files], "file string") \
         .repartition(min(len(files), par * 2))
 
+    # pruned scans do ranged reads via the chunk footer index (I/O pruning,
+    # not just decode pruning); full scans read each file once, sequentially
+    pruned = len(names) < len(full.fields)
+
     def reader(batches):
         try:  # same per-worker pool pinning as the encoder (see _make_encoder)
             pa.set_cpu_count(1)
@@ -428,9 +432,7 @@ def decode_table(spark: SparkSession, out_dir: str,
             pass
         for b in batches:
             for fp in b.column(0).to_pylist():
-                with open(fp, "rb") as fh:
-                    blob = fh.read()
-                yield decode_chunk(blob, columns=names)
+                yield decode_chunk_file(fp, columns=names if pruned else None)
 
     out = fdf.mapInArrow(reader, schema=schema)
     if logical is not None:

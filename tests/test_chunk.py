@@ -79,6 +79,59 @@ def test_crc_detects_corruption():
         decode_chunk(bytes(bad))
 
 
+def test_pruned_file_read_skips_unrequested_column_bytes(tmp_path):
+    """The v2 footer index makes a pruned scan's I/O proportional to the
+    requested columns, not the file size (Parquet column-chunk analog)."""
+    from dumpster.chunk import decode_chunk_file
+
+    n = 4000
+    big = [RNG.integers(0, 256, 900, dtype=np.uint8).tobytes()
+           for _ in range(n)]  # ~3.6 MB incompressible column
+    lang = [["pt", "en", "es"][i % 3] for i in range(n)]
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array(big, type=pa.binary()), pa.array(lang)],
+        names=["html", "lang"])
+    blob, _ = encode_chunk(batch)
+    fp = tmp_path / "c.dmc"
+    fp.write_bytes(blob)
+
+    br = []
+    out = decode_chunk_file(str(fp), columns=["lang"], bytes_read=br)
+    assert out.schema.names == ["lang"]
+    assert out.column(0).to_pylist() == lang
+    assert br[0] < len(blob) / 4, (br, len(blob))
+
+    # requested order is preserved and full ranged read matches decode_chunk
+    both = decode_chunk_file(str(fp), columns=["lang", "html"])
+    assert both.schema.names == ["lang", "html"]
+    assert both.column("html").to_pylist() == big
+    full = decode_chunk_file(str(fp))
+    assert _ipc_bytes(full) == _ipc_bytes(batch)
+
+
+def test_corruption_detected_in_pruned_column_only(tmp_path):
+    """Per-section crc: corrupting one column poisons reads of that column
+    but ranged reads of other columns stay valid."""
+    from dumpster.chunk import decode_chunk_file
+
+    n = 1000
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array([RNG.integers(0, 256, 100, dtype=np.uint8).tobytes()
+                   for _ in range(n)], type=pa.binary()),
+         pa.array([str(i % 5) for i in range(n)])],
+        names=["html", "lang"])
+    blob, stats = encode_chunk(batch)
+    bad = bytearray(blob)
+    # flip a byte mid-file: the incompressible html payload (first column)
+    # dominates the container, so the midpoint is inside its section
+    bad[len(bad) // 2] ^= 0xFF
+    fp = tmp_path / "c.dmc"
+    fp.write_bytes(bytes(bad))
+    assert decode_chunk_file(str(fp), columns=["lang"]) is not None
+    with pytest.raises(ValueError, match="crc"):
+        decode_chunk_file(str(fp), columns=["html"])
+
+
 def test_encoding_is_deterministic():
     n = 3000
     batch = pa.RecordBatch.from_arrays(
