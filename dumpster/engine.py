@@ -94,7 +94,7 @@ def _rebuild_df(df: DataFrame, logical: StructType) -> DataFrame:
                        for f in logical.fields])
 
 from .chunk import decode_chunk_file, encode_chunk_pieces
-from .pipeline import prep_for_encode
+from .pipeline import prep_for_encode, prep_for_encode_local
 
 DEFAULT_CHUNK_ROWS = 65536
 DEFAULT_CHUNK_BYTES = 32 * 1024 * 1024
@@ -272,7 +272,8 @@ def encode_table(df: DataFrame, out_dir: str, *, url_col: str | None = None,
                  table_id: str | None = None, allow_zlib: bool = True,
                  resume: bool = True, locality_sort: bool = True,
                  host_major: bool = True,
-                 order_cols: tuple[str, ...] = ()) -> DataFrame:
+                 order_cols: tuple[str, ...] = (),
+                 mode: str = "salted") -> DataFrame:
     """Encode ``df`` into chunk files + manifest under ``out_dir``.
 
     Bucketing: pass ``url_col`` for web-page tables (salted host buckets,
@@ -280,6 +281,15 @@ def encode_table(df: DataFrame, out_dir: str, *, url_col: str | None = None,
     tables; default falls back to hashing all columns.
     Returns the manifest as a DataFrame (one row per chunk =
     per-partition lineage + metrics, the north_rule requirement).
+
+    ``mode="salted"`` (default) repartitions on the salted host bucket —
+    the north_rule's explicit skew-handled, host-grouped layout.
+    ``mode="local"`` encodes each input split in place with NO shuffle
+    (pipeline.prep_for_encode_local): bucket = spark_partition_id(), so
+    resume granularity is the input split; ~2× table size of cluster I/O
+    saved at the cost of split-local (not global) host grouping.  Resume
+    in local mode assumes the same scan partitioning across runs (same
+    files + same spark.sql.files.maxPartitionBytes).
     """
     spark = df.sparkSession
     os.makedirs(os.path.join(out_dir, "chunks"), exist_ok=True)
@@ -298,7 +308,10 @@ def encode_table(df: DataFrame, out_dir: str, *, url_col: str | None = None,
 
     done = done_buckets(out_dir) if resume else set()
 
-    if url_col is not None:
+    if mode == "local":
+        prepped = prep_for_encode_local(df, url_col, order_cols,
+                                        locality_sort=locality_sort)
+    elif url_col is not None:
         prepped = prep_for_encode(df, url_col, n_buckets, salt_k, order_cols,
                                   locality_sort=locality_sort,
                                   host_major=host_major)

@@ -134,6 +134,37 @@ def union_evolving(dfs: list[DataFrame]) -> DataFrame:
     return out
 
 
+def prep_for_encode_local(df: DataFrame, url_col: str | None,
+                          order_cols: tuple[str, ...] = (),
+                          locality_sort: bool = True) -> DataFrame:
+    """Zero-shuffle prep: bucket = the input split itself.
+
+    ``__bucket = spark_partition_id()`` makes each scan task one encode
+    unit — no exchange at all, mirroring the reference's own layout (one
+    output stream per Kafka partition, files {partition}_{firstOffset}
+    .parquet, HourlyBasedRecordConsumer.java:157).  Input splits are
+    byte-uniform (Parquet split planning), so there is no skew to salt
+    away; the optional sortWithinPartitions recovers host-major
+    compression locality *within* each split without moving a row.
+
+    Tradeoff vs prep_for_encode (the salted-shuffle path): at 100 TB the
+    shuffle costs ~2× table size in cluster I/O; skipping it roughly
+    doubles encode throughput, but chunks are host-grouped only within a
+    split, so the compression ratio and cross-file zone-map tightness of
+    the host-major global layout are partially lost.  Parallelism is
+    tuned with spark.sql.files.maxPartitionBytes, not n_buckets.
+    """
+    out = df
+    sort_cols = list(order_cols)
+    if url_col is not None and locality_sort:
+        out = out.withColumn("__host", host_of(F.col(url_col)))
+        sort_cols = ["__host", *order_cols]
+    out = out.withColumn("__bucket", F.spark_partition_id())
+    if locality_sort and sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    return out.drop("__host") if "__host" in out.columns else out
+
+
 def prep_for_encode(df: DataFrame, url_col: str, n_buckets: int,
                     salt_k: int = 4, order_cols: tuple[str, ...] = (),
                     locality_sort: bool = True,

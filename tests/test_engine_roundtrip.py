@@ -147,3 +147,39 @@ def test_synth_deterministic_across_parallelism(spark):
     b = synth_pages(spark, 500, seed=7, parts=8)
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+
+
+def test_local_mode_zero_shuffle_roundtrip(spark, pages, out_dir):
+    """mode='local': no exchange at all — bucket = input split.  Round-trip
+    must stay bit-identical and the physical plan must contain no shuffle
+    between the scan and the encode mapInArrow."""
+    from dumpster.pipeline import prep_for_encode_local
+
+    plan = prep_for_encode_local(pages, "url")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+    man = encode_table(pages, out_dir, url_col="url", table_id="lm",
+                       mode="local", chunk_rows=512)
+    dec = decode_table(spark, out_dir)
+    _assert_same(pages, dec)
+    # lineage rows carry the split id as the bucket
+    assert man.select("bucket").distinct().count() == \
+        man.select("partition_id").distinct().count()
+
+
+def test_local_mode_resume_encodes_only_missing_split(spark, pages, out_dir):
+    encode_table(pages, out_dir, url_col="url", table_id="lm",
+                 mode="local", chunk_rows=512)
+    mfiles = sorted(glob.glob(os.path.join(out_dir, "manifest", "*.parquet")))
+    assert len(mfiles) >= 2
+    os.remove(mfiles[0])
+    victim = int(os.path.basename(mfiles[0])[1:7])
+    survivor_chunks = {f: os.path.getmtime(f) for f in
+                       glob.glob(os.path.join(out_dir, "chunks", "*.dmc"))
+                       if int(os.path.basename(f)[1:7]) != victim}
+    encode_table(pages, out_dir, url_col="url", table_id="lm",
+                 mode="local", chunk_rows=512)
+    for f, mt in survivor_chunks.items():
+        assert os.path.getmtime(f) == mt, f"untouched chunk rewritten: {f}"
+    _assert_same(pages, decode_table(spark, out_dir))
