@@ -342,6 +342,89 @@ def q_tpch_q1_via_engine(spark, sf):
                  F.count("*").cast("long").alias("count_order")))
 
 
+def q_local_mode_roundtrip(spark, sf):
+    """Zero-shuffle encode path (engine.encode_table mode='local': bucket =
+    input split, no exchange — the reference's own per-Kafka-partition
+    layout, HourlyBasedRecordConsumer.java:157) must still round-trip the
+    table exactly; the oracle is the table itself."""
+    docs = _t(spark, sf, "documents")
+    out = tempfile.mkdtemp(prefix="dumpster_q_local_")
+    encode_table(docs, out, mode="local", chunk_rows=4096,
+                 table_id="documents_local")
+    return decode_table(spark, out) \
+        .select("doc_id", "text", "lang", "source", "n_chars")
+
+
+def q_pruned_scan_io(spark, sf):
+    """Ranged pruned reads (rows-only): a lang-only decode reads just the
+    footer + header + lang byte ranges via the chunk footer index — the
+    engine's Parquet-column-chunk analog.  Reports bytes read vs file
+    bytes; the fraction must be well under 1."""
+    import os as _os
+
+    import pyarrow as pa
+
+    docs = _t(spark, sf, "documents")
+    out = tempfile.mkdtemp(prefix="dumpster_q_io_")
+    man = encode_table(
+        docs, out,
+        bucket_expr=F.pmod(F.xxhash64("doc_id"), F.lit(8)).cast("int"),
+        n_buckets=8, chunk_rows=4096, table_id="documents_io")
+    files = [r["file"] for r in man.select("file").distinct().collect()]
+    fdf = spark.createDataFrame([(f,) for f in files], "file string")
+
+    def probe(batches):
+        from dumpster.chunk import decode_chunk_file
+        for b in batches:
+            rows = []
+            for fp in b.column(0).to_pylist():
+                br: list = []
+                decode_chunk_file(fp, columns=["lang"], bytes_read=br)
+                rows.append({"bytes_read": br[0],
+                             "file_bytes": _os.path.getsize(fp)})
+            yield pa.RecordBatch.from_pylist(rows, schema=pa.schema(
+                [("bytes_read", pa.int64()), ("file_bytes", pa.int64())]))
+
+    d = fdf.mapInArrow(probe, schema="bytes_read long, file_bytes long")
+    return d.agg(
+        F.sum("bytes_read").alias("bytes_read"),
+        F.sum("file_bytes").alias("file_bytes"),
+        (F.sum("bytes_read") < F.sum("file_bytes")).alias("io_pruned"))
+
+
+def q_schema_evolution_union(spark, sf):
+    """G2 parity: two schema generations united without write failure (the
+    reference keeps one writer per distinct Avro schema within an hour
+    bucket, HourlyBasedRecordConsumer.java:20, :58-67).
+    unionByName(allowMissingColumns=True) upcasts both generations to the
+    superset schema the encoder then sees — new fields are NULL on old
+    rows, dropped fields NULL on new rows."""
+    from dumpster.pipeline import union_evolving
+
+    docs = _t(spark, sf, "documents")
+    v1 = docs.select("doc_id", "lang", "source")
+    v2 = (docs.filter(F.col("doc_id") % 3 == 0)
+          .select((F.col("doc_id") + 10_000_000).alias("doc_id"), "lang",
+                  (F.col("n_chars").cast("double") / 100).alias("quality")))
+    return union_evolving([v1, v2])
+
+
+def q_hour_partitioned_encode(spark, sf):
+    """G1+K1 composition, reference-layout parity: encode events into the
+    reference's dt=/hr= chunk tree (HourlyBasedRecordConsumer.java:125-131)
+    and decode ONLY hr=03 via directory pruning (path_glob) — equal to a
+    plain WHERE hour(ts)=3, which is the oracle."""
+    from dumpster.engine import encode_table_partitioned
+
+    ev = _t(spark, sf, "events")
+    out = tempfile.mkdtemp(prefix="dumpster_q_hp_")
+    encode_table_partitioned(ev, out, ts_col="ts", chunk_rows=8192,
+                             table_id="events_hp")
+    dec = decode_table(spark, out, path_glob="*/hr=03/*")
+    return (dec.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("dt"))
+            .agg(F.count("*").alias("n")))
+
+
 def q_embeddings_roundtrip(spark, sf):
     """list<float> columns through the codec layer (rows-only)."""
     emb = _t(spark, sf, "embeddings")
@@ -389,6 +472,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zone_pruned_scan": q_zone_pruned_scan,
         "tpch_q1_via_engine": q_tpch_q1_via_engine,
         "embeddings_roundtrip": q_embeddings_roundtrip,
+        "local_mode_roundtrip": q_local_mode_roundtrip,
+        "pruned_scan_io": q_pruned_scan_io,
+        "hour_partitioned_encode": q_hour_partitioned_encode,
+        "schema_evolution_union": q_schema_evolution_union,
     }
 
 
@@ -590,6 +677,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "roundtrip_zero_mismatch": """
             SELECT CAST(0 AS BIGINT) AS missing_rows, CAST(0 AS BIGINT) AS extra_rows
+        """,
+        "local_mode_roundtrip": """
+            SELECT doc_id, text, lang, source, n_chars FROM documents
+        """,
+        "hour_partitioned_encode": """
+            SELECT strftime(ts, '%Y-%m-%d') AS dt,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events
+            WHERE CAST(extract(hour FROM ts) AS INTEGER) = 3
+            GROUP BY 1
+        """,
+        "schema_evolution_union": """
+            SELECT doc_id, lang, source, CAST(NULL AS DOUBLE) AS quality
+            FROM documents
+            UNION ALL
+            SELECT doc_id + 10000000, lang, CAST(NULL AS VARCHAR),
+                   CAST(n_chars AS DOUBLE) / 100
+            FROM documents WHERE doc_id % 3 = 0
         """,
         "zone_pruned_scan": """
             SELECT doc_id, lang, source FROM documents

@@ -50,6 +50,11 @@ def main():
     rows = max(int(sf * ROWS_PER_SF), 1000)
     rows = int(os.environ.get("DUMPSTER_BENCH_ROWS", rows))
     skip_queries = os.environ.get("DUMPSTER_BENCH_SKIP_QUERIES") == "1"
+    # minimal = headline encode+decode only (scaling runs: the N-level legs
+    # don't need the reference write / local mode / pruned decode, which at
+    # 1 core would dominate the invocation wall without informing the gate)
+    minimal = os.environ.get("DUMPSTER_BENCH_MINIMAL") == "1"
+    skip_queries = skip_queries or minimal
 
     from pyspark.sql import functions as F
 
@@ -132,35 +137,39 @@ def main():
     # column-pruned decode: only `lang` is read AND decompressed — ranged
     # reads via the chunk footer index skip the html/text byte ranges on
     # disk entirely (the engine's analog of Parquet column-chunk I/O)
-    t0 = time.perf_counter()
-    (decode_table(spark, out, columns=["lang"])
-     .groupBy("lang").count().collect())
-    timings["decode_lang_column_only"] = time.perf_counter() - t0
+    if not minimal:
+        t0 = time.perf_counter()
+        (decode_table(spark, out, columns=["lang"])
+         .groupBy("lang").count().collect())
+        timings["decode_lang_column_only"] = time.perf_counter() - t0
 
     # zero-shuffle encode (mode='local'): the ingest-optimized path — no
     # exchange, bucket = input split (the reference's own per-Kafka-
     # partition layout).  Headline stays the salted-shuffle path (the
     # north_rule's explicit skew-handled host-major layout).
-    local_out = tempfile.mkdtemp(prefix="dumpster_bench_encl_")
-    t0 = time.perf_counter()
-    man_l = encode_table(pages, local_out, url_col="url", mode="local",
-                         chunk_rows=65536, table_id="bench_pages_local")
-    timings["encode_pages_local"] = time.perf_counter() - t0
-    local_bytes = int(encode_summary(man_l)["encoded_bytes"])
-    shutil.rmtree(local_out, ignore_errors=True)
+    local_bytes = ref_bytes = None
+    ref_dir = None
+    if not minimal:
+        local_out = tempfile.mkdtemp(prefix="dumpster_bench_encl_")
+        t0 = time.perf_counter()
+        man_l = encode_table(pages, local_out, url_col="url", mode="local",
+                             chunk_rows=65536, table_id="bench_pages_local")
+        timings["encode_pages_local"] = time.perf_counter() - t0
+        local_bytes = int(encode_summary(man_l)["encoded_bytes"])
+        shutil.rmtree(local_out, ignore_errors=True)
 
-    # --- reference sink: Parquet with the reference writer settings ---------
-    ref_dir = tempfile.mkdtemp(prefix="dumpster_bench_ref_")
-    t0 = time.perf_counter()
-    (pages.write.mode("overwrite")
-     .option("compression", "snappy")
-     .option("parquet.enable.dictionary", "true")
-     .option("parquet.block.size", str(256 * 1024 * 1024))
-     .option("parquet.page.size", str(64 * 1024))
-     .parquet(os.path.join(ref_dir, "p")))
-    timings["reference_parquet_write"] = time.perf_counter() - t0
-    ref_bytes = sum(os.path.getsize(f) for f in
-                    glob.glob(os.path.join(ref_dir, "p", "*.parquet")))
+        # --- reference sink: Parquet with the reference writer settings -----
+        ref_dir = tempfile.mkdtemp(prefix="dumpster_bench_ref_")
+        t0 = time.perf_counter()
+        (pages.write.mode("overwrite")
+         .option("compression", "snappy")
+         .option("parquet.enable.dictionary", "true")
+         .option("parquet.block.size", str(256 * 1024 * 1024))
+         .option("parquet.page.size", str(64 * 1024))
+         .parquet(os.path.join(ref_dir, "p")))
+        timings["reference_parquet_write"] = time.perf_counter() - t0
+        ref_bytes = sum(os.path.getsize(f) for f in
+                        glob.glob(os.path.join(ref_dir, "p", "*.parquet")))
     enc_bytes = int(s["encoded_bytes"])
 
     # --- representative operator queries on the driver sf tables ------------
@@ -186,21 +195,23 @@ def main():
         "logical_bytes": int(logical_bytes),
         "encode_gb_per_sec": round(encode_gbps, 4),
         "encode_docs_per_sec": round(rows / timings["encode_pages"], 1),
-        "encode_local_gb_per_sec": round(
-            logical_bytes / timings["encode_pages_local"] / 1e9, 4),
-        "encoded_bytes_local_mode": local_bytes,
         "decode_gb_per_sec": round(
             logical_bytes / timings["decode_pages"] / 1e9, 4),
         "encoded_bytes": enc_bytes,
-        "reference_parquet_bytes": ref_bytes,
-        "size_ratio_vs_reference": round(enc_bytes / ref_bytes, 4),
         "compression_ratio": round(logical_bytes / enc_bytes, 4),
         "synth_sec_excluded": round(synth_sec, 3),
         "encode_trials_sec": [round(t, 3) for t in enc_trials],
         "decode_trials_sec": [round(t, 3) for t in dec_trials],
     }
+    if not minimal:
+        result["encode_local_gb_per_sec"] = round(
+            logical_bytes / timings["encode_pages_local"] / 1e9, 4)
+        result["encoded_bytes_local_mode"] = local_bytes
+        result["reference_parquet_bytes"] = ref_bytes
+        result["size_ratio_vs_reference"] = round(enc_bytes / ref_bytes, 4)
     shutil.rmtree(out, ignore_errors=True)
-    shutil.rmtree(ref_dir, ignore_errors=True)
+    if ref_dir:
+        shutil.rmtree(ref_dir, ignore_errors=True)
     spark.stop()
     print(json.dumps(result))
 

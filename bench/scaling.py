@@ -24,11 +24,18 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_bench(sf_dir: str, cpus: int, rows: int | None = None) -> dict:
+def run_bench(sf_dir: str, cpus: int, rows: int | None = None,
+              minimal: bool = False) -> dict:
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir,
                SPARK_GRAFT_CPUS=str(cpus),
                DUMPSTER_BENCH_SKIP_QUERIES="1",
                DUMPSTER_BENCH_WORKDIR="/dev/shm/dumpster_bench")
+    if minimal:
+        # N-level legs: headline encode+decode only — the reference write /
+        # local mode / pruned decode at 1 core would multiply the wall
+        # without informing the scaling gate (size section comes from the
+        # full 4N run)
+        env["DUMPSTER_BENCH_MINIMAL"] = "1"
     if rows:
         env["DUMPSTER_BENCH_ROWS"] = str(rows)
     out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
@@ -63,7 +70,7 @@ def main():
         best = None
         n_try = trials if cpus in levels else 1
         for t in range(n_try):
-            r = run_bench(sf_dir, cpus, rows)
+            r = run_bench(sf_dir, cpus, rows, minimal=(cpus != levels[1]))
             print(f"local[{cpus}] trial {t}: encode {r['encode_gb_per_sec']} GB/s "
                   f"({r['queries']['encode_pages']}s), decode "
                   f"{r['decode_gb_per_sec']} GB/s", file=sys.stderr)
@@ -93,6 +100,11 @@ invocation(s) per level, each invocation itself best-of-3 encode trials
 | local[{n_hi}] (4N) | {r32['encode_gb_per_sec']:.3f} | {r32['encode_docs_per_sec']:,.0f} | {r32['decode_gb_per_sec']:.3f} | {r32['queries']['encode_pages']:.1f} |
 
 **Encode scaling efficiency (N→4N): {eff_enc:.3f}**  (decode: {eff_dec:.3f})
+
+Zero-shuffle `mode='local'` encode at 4N: {r32.get('encode_local_gb_per_sec', 'n/a')} GB/s
+(the salted-shuffle path above is the headline per the north_rule's
+explicit-skew-handling requirement; local mode is the ingest-optimized
+fast path — see engine.encode_table docstring).
 
 ## Compressed size (north_rule gate: ≤ reference Parquet)
 

@@ -133,8 +133,12 @@ def _manifest_path(out_dir: str, bucket: int) -> str:
     return os.path.join(out_dir, "manifest", f"b{bucket:06d}.parquet")
 
 
-def _chunk_path(out_dir: str, bucket: int, seq: int) -> str:
-    return os.path.join(out_dir, "chunks", f"b{bucket:06d}_c{seq:05d}.dmc")
+def _chunk_path(out_dir: str, bucket: int, seq: int,
+                subdirs: dict | None = None) -> str:
+    name = f"b{bucket:06d}_c{seq:05d}.dmc"
+    if subdirs and bucket in subdirs:
+        return os.path.join(out_dir, "chunks", subdirs[bucket], name)
+    return os.path.join(out_dir, "chunks", name)
 
 
 def done_buckets(out_dir: str) -> set[int]:
@@ -147,7 +151,8 @@ def done_buckets(out_dir: str) -> set[int]:
 
 def _make_encoder(out_dir: str, table_id: str, chunk_rows: int,
                   chunk_bytes: int, allow_zlib: bool, skip: frozenset,
-                  sorted_input: bool = True):
+                  sorted_input: bool = True,
+                  bucket_subdirs: dict | None = None):
     """Per-task encoder over Arrow batches.
 
     Buckets need not be contiguous: state is kept per bucket, chunks flush
@@ -199,7 +204,8 @@ def _make_encoder(out_dir: str, table_id: str, chunk_rows: int,
                     allow_zlib=False, plain_only=True)
                 for cs in stats:
                     cs["fallback"] = True
-            path = _chunk_path(out_dir, bucket, seq)
+            path = _chunk_path(out_dir, bucket, seq, bucket_subdirs)
+            os.makedirs(os.path.dirname(path), exist_ok=True)
             _fs_write_atomic(path, pieces)
             blob_len = sum(len(p) for p in pieces)
             ms = (time.perf_counter() - t0) * 1e3
@@ -273,7 +279,9 @@ def encode_table(df: DataFrame, out_dir: str, *, url_col: str | None = None,
                  resume: bool = True, locality_sort: bool = True,
                  host_major: bool = True,
                  order_cols: tuple[str, ...] = (),
-                 mode: str = "salted") -> DataFrame:
+                 mode: str = "salted",
+                 bucket_col: str | None = None,
+                 bucket_subdirs: dict | None = None) -> DataFrame:
     """Encode ``df`` into chunk files + manifest under ``out_dir``.
 
     Bucketing: pass ``url_col`` for web-page tables (salted host buckets,
@@ -296,19 +304,32 @@ def encode_table(df: DataFrame, out_dir: str, *, url_col: str | None = None,
     os.makedirs(os.path.join(out_dir, "manifest"), exist_ok=True)
     table_id = table_id or os.path.basename(os.path.normpath(out_dir))
 
+    if bucket_col is not None:
+        # the column IS the bucket id; it is routing metadata, not payload —
+        # excluded from the stored schema and from every chunk
+        df = df.withColumn("__bucket", F.col(bucket_col).cast("int")) \
+            .drop(bucket_col)
+
+    def _payload(s: StructType) -> StructType:
+        return StructType([f for f in s.fields if f.name != "__bucket"])
+
     if _has_structs(df.schema):
         logical_path = os.path.join(out_dir, "_logical_schema.json")
         if not os.path.exists(logical_path):
-            _fs_write_atomic(logical_path, df.schema.json().encode())
+            _fs_write_atomic(logical_path, _payload(df.schema).json().encode())
         df = _flatten_df(df)
 
     schema_path = os.path.join(out_dir, "_schema.json")
     if not os.path.exists(schema_path):
-        _fs_write_atomic(schema_path, df.schema.json().encode())
+        _fs_write_atomic(schema_path, _payload(df.schema).json().encode())
 
     done = done_buckets(out_dir) if resume else set()
 
-    if mode == "local":
+    if bucket_col is not None:
+        prepped = df.repartition(n_buckets, "__bucket")
+        if locality_sort:
+            prepped = prepped.sortWithinPartitions("__bucket", *order_cols)
+    elif mode == "local":
         prepped = prep_for_encode_local(df, url_col, order_cols,
                                         locality_sort=locality_sort)
     elif url_col is not None:
@@ -329,10 +350,50 @@ def encode_table(df: DataFrame, out_dir: str, *, url_col: str | None = None,
 
     encoder = _make_encoder(out_dir, table_id, chunk_rows, chunk_bytes,
                             allow_zlib, frozenset(done),
-                            sorted_input=locality_sort)
+                            sorted_input=locality_sort,
+                            bucket_subdirs=bucket_subdirs)
     metrics = prepped.mapInArrow(encoder, schema=MANIFEST_DDL)
     metrics.collect()  # manifest rows are tiny (one per chunk); this is the action
     return read_manifest(spark, out_dir)
+
+
+def encode_table_partitioned(df: DataFrame, out_dir: str, *,
+                             ts_col: str = "warc_ts",
+                             chunk_rows: int = DEFAULT_CHUNK_ROWS,
+                             table_id: str | None = None,
+                             allow_zlib: bool = True,
+                             resume: bool = True) -> DataFrame:
+    """Reference output-layout parity: event-time hourly partitioning.
+
+    Chunks land under ``chunks/dt=YYYY-MM-DD/hr=HH/`` exactly like the
+    reference's writer tree ({topic}/{type}/dt=.../hr=.../file,
+    HourlyBasedRecordConsumer.java:125-131,155-157; README.md:48), with
+    one encode bucket per event-time hour (G1,
+    HourlyBasedPartitioner.java:84-109).  The hour key set is collected
+    first (tiny: distinct (dt,hr)) and broadcast-joined back as the bucket
+    id — at 10^12-doc scale that join is a map-side broadcast, no extra
+    shuffle beyond the one bucket exchange.  Decode with
+    ``decode_table(..., path_glob="*/dt=2026-01-01/hr=05/*")`` for
+    directory-pruned scans (the reference's Hive partition pruning).
+
+    ``dt``/``hr`` are derived columns and are NOT encoded; decode restores
+    the original schema and callers re-derive them (pipeline.hour_partition).
+    """
+    from .pipeline import hour_partition
+    spark = df.sparkSession
+    hp = hour_partition(df, ts_col)
+    keys = sorted((r["dt"], int(r["hr"])) for r in
+                  hp.select("dt", "hr").distinct().collect())
+    subdirs = {i: f"dt={dt}/hr={hr:02d}" for i, (dt, hr) in enumerate(keys)}
+    kdf = spark.createDataFrame(
+        [(dt, hr, i) for i, (dt, hr) in enumerate(keys)],
+        "dt string, hr int, __hour_bucket int")
+    withb = (hp.join(F.broadcast(kdf), ["dt", "hr"]).drop("dt", "hr"))
+    return encode_table(
+        withb, out_dir, bucket_col="__hour_bucket",
+        n_buckets=max(len(keys), 1), chunk_rows=chunk_rows,
+        table_id=table_id, allow_zlib=allow_zlib, resume=resume,
+        bucket_subdirs=subdirs)
 
 
 def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame:
@@ -382,7 +443,8 @@ def prune_manifest_files(manifest_rows, zone_filter) -> list[str]:
 
 def decode_table(spark: SparkSession, out_dir: str,
                  columns: list[str] | None = None,
-                 zone_filter: tuple | None = None) -> DataFrame:
+                 zone_filter: tuple | None = None,
+                 path_glob: str | None = None) -> DataFrame:
     """Inverse of encode_table: manifest → DataFrame, bit-identical.
 
     Parallel over chunk files (no data shuffle at all); column pruning
@@ -426,6 +488,11 @@ def decode_table(spark: SparkSession, out_dir: str,
     else:
         files = sorted(r["file"] for r in
                        manifest.select("file").distinct().collect())
+    if path_glob is not None:
+        # directory pruning over the dt=/hr= layout (reference: Hive
+        # partition pruning on the same tree, HiveClient.java:88-94)
+        import fnmatch
+        files = [f for f in files if fnmatch.fnmatch(f, path_glob)]
     if not files:
         empty = spark.createDataFrame([], schema)
         return _rebuild_df(empty, logical) if logical is not None else empty

@@ -77,3 +77,42 @@ def test_chunk_roundtrip_with_nulls(rows, seq):
         return sink.getvalue().to_pybytes()
 
     assert ipc(out) == ipc(batch)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(
+    st.tuples(st.one_of(st.none(), st.binary(max_size=60)),
+              st.one_of(st.none(), I64),
+              st.one_of(st.none(), st.text(max_size=30))),
+    max_size=80),
+    st.sets(st.sampled_from(["b", "i", "s"]), min_size=1),
+    st.integers(0, 10**6))
+def test_ranged_file_read_equals_in_memory_pruned_decode(rows, cols, seq):
+    """decode_chunk_file's ranged reads must agree with the in-memory
+    pruned decode for every column subset, including all-null columns."""
+    import pathlib
+    import tempfile
+
+    from dumpster.chunk import decode_chunk_file
+
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array([r[0] for r in rows], type=pa.binary()),
+         pa.array([r[1] for r in rows], type=pa.int64()),
+         pa.array([r[2] for r in rows], type=pa.string())],
+        names=["b", "i", "s"])
+    blob, _ = encode_chunk(batch, table_id="prop", bucket=0, chunk_seq=seq)
+    fp = pathlib.Path(tempfile.mkdtemp(prefix="dm_rng_")) / "c.dmc"
+    fp.write_bytes(blob)
+    want = sorted(cols)
+    a = decode_chunk(blob, columns=want)
+    br = []
+    b = decode_chunk_file(str(fp), columns=want, bytes_read=br)
+
+    def ipc(x):
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_stream(sink, x.schema) as w:
+            w.write_batch(x)
+        return sink.getvalue().to_pybytes()
+
+    assert ipc(a) == ipc(b)
+    assert br[0] <= len(blob) + 1

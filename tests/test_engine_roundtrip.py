@@ -183,3 +183,34 @@ def test_local_mode_resume_encodes_only_missing_split(spark, pages, out_dir):
     for f, mt in survivor_chunks.items():
         assert os.path.getmtime(f) == mt, f"untouched chunk rewritten: {f}"
     _assert_same(pages, decode_table(spark, out_dir))
+
+
+def test_partitioned_encode_reference_layout(spark, pages, out_dir):
+    """encode_table_partitioned writes the reference's dt=/hr= tree
+    (HourlyBasedRecordConsumer.java:125-131) and path_glob decode prunes
+    whole hour directories before any file is opened."""
+    from dumpster.engine import encode_table_partitioned
+
+    man = encode_table_partitioned(pages, out_dir, ts_col="warc_ts",
+                                   chunk_rows=4096, table_id="hp")
+    # layout: every chunk sits under chunks/dt=YYYY-MM-DD/hr=HH/
+    files = [r["file"] for r in man.select("file").collect()]
+    import re
+    assert files and all(
+        re.search(r"/chunks/dt=\d{4}-\d{2}-\d{2}/hr=\d{2}/", f)
+        for f in files), files[:3]
+
+    # full decode restores the original schema and rows (dt/hr not stored)
+    dec = decode_table(spark, out_dir)
+    assert dec.columns == pages.columns
+    _assert_same(pages, dec)
+
+    # directory-pruned decode == exact hour filter recomputed from ts
+    one = sorted({re.search(r"dt=(\S+?)/hr=(\d+)/", f).groups()
+                  for f in files})[0]
+    pruned = decode_table(spark, out_dir,
+                          path_glob=f"*/dt={one[0]}/hr={one[1]}/*")
+    expect = pages.filter(
+        (F.date_format("warc_ts", "yyyy-MM-dd") == one[0])
+        & (F.hour("warc_ts") == int(one[1])))
+    _assert_same(expect, pruned)
