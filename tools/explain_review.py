@@ -72,6 +72,37 @@ def main():
             "EvalPython" not in p,
     })
 
+    # 1b. local-mode prep: zero exchanges end-to-end
+    from dumpster.pipeline import prep_for_encode_local
+    prep_l = prep_for_encode_local(pages, "url")
+    p = plan_of(prep_l)
+    ok &= section("encode prep, mode='local' (zero-shuffle)", prep_l, {
+        "NO Exchange node anywhere (bucket = input split)":
+            "Exchange" not in p,
+        "local Sort only (host-major within the split)":
+            "Sort" in p and "rangepartitioning" not in p.lower(),
+        "no Python row evaluation in the prep (all JVM-side)":
+            "EvalPython" not in p,
+    })
+
+    # 1c. partitioned (dt=/hr=) encode prep: hour-key join is broadcast,
+    # the only exchange is the bucket repartition
+    from dumpster.pipeline import hour_partition
+    hp = hour_partition(pages, "warc_ts")
+    kdf = spark.createDataFrame([("2026-01-01", h, h) for h in range(4)],
+                                "dt string, hr int, __hour_bucket int")
+    joined = hp.join(F.broadcast(kdf), ["dt", "hr"]).drop("dt", "hr") \
+        .withColumn("__bucket", F.col("__hour_bucket").cast("int")) \
+        .drop("__hour_bucket").repartition(8, "__bucket")
+    p = plan_of(joined)
+    ok &= section("partitioned encode prep (dt=/hr= hour buckets)", joined, {
+        "hour-key join is a BroadcastHashJoin (no shuffle join)":
+            "BroadcastHashJoin" in p and "SortMergeJoin" not in p,
+        "exactly one data Exchange (the bucket repartition; the broadcast "
+        "exchange moves only the tiny hour-key table)":
+            len(re.findall(r"\(\d+\) Exchange\b", p)) == 1,
+    })
+
     # 2. scan pruning: projection reaches ReadSchema, filter pushed
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     q = docs.filter(F.col("lang") == "en").select("doc_id", "lang")
