@@ -426,34 +426,88 @@ def _stat_value(v):
 
 
 def prune_manifest_files(manifest_rows, zone_filter) -> list[str]:
-    """Keep files whose per-chunk [vmin, vmax] zone map overlaps the
-    predicate range; chunks without stats are kept (conservative)."""
-    col, lo, hi = zone_filter
-    lo, hi = _stat_value(lo), _stat_value(hi)
+    """Keep files whose per-chunk [vmin, vmax] zone maps overlap the
+    predicate range(s); chunks without stats are kept (conservative).
+
+    ``zone_filter`` is one ``(col, lo, hi)`` tuple or a list of them
+    (conjunction — a chunk survives only if every range overlaps), the
+    manifest-level analog of Parquet row-group min/max pruning under an
+    AND of predicates.
+    """
+    filters = [zone_filter] if isinstance(zone_filter, tuple) else list(zone_filter)
+    filters = [(c, _stat_value(lo), _stat_value(hi)) for c, lo, hi in filters]
     keep = []
     for r in manifest_rows:
         stats = {s["column"]: s for s in json.loads(r["col_stats"])}
-        s = stats.get(col)
-        if s is None or s.get("vmin") is None:
-            keep.append(r["file"])
-        elif not (s["vmax"] < lo or s["vmin"] > hi):
+        ok = True
+        for col, lo, hi in filters:
+            s = stats.get(col)
+            if s is None or s.get("vmin") is None:
+                continue  # no stats → cannot prune on this column
+            if s["vmax"] < lo or s["vmin"] > hi:
+                ok = False
+                break
+        if ok:
             keep.append(r["file"])
     return sorted(set(keep))
+
+
+def verify_chunks(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Integrity sweep: decode every chunk file, report per-file status.
+
+    The engine's analog of the reference's inline decode-error capture
+    (AvroSchemaRegistryDeserializer.java:29-42 materialises a
+    KafkaException record instead of crashing): corruption is surfaced as
+    data (file, ok, error, n_rows), never as a job failure.  Run it before
+    trusting a resumed/transferred table; pair with
+    ``decode_table(on_error="skip")`` to scan around damage.
+    """
+    manifest = read_manifest(spark, out_dir)
+    files = sorted(r["file"] for r in
+                   manifest.select("file").distinct().collect())
+    if not files:
+        return spark.createDataFrame(
+            [], "file string, ok boolean, error string, n_rows long")
+    par = max(spark.sparkContext.defaultParallelism, 1)
+    fdf = spark.createDataFrame([(f,) for f in files], "file string") \
+        .repartition(min(len(files), par * 2))
+
+    def checker(batches):
+        for b in batches:
+            rows = []
+            for fp in b.column(0).to_pylist():
+                try:
+                    batch = decode_chunk_file(fp)
+                    rows.append({"file": fp, "ok": True, "error": None,
+                                 "n_rows": batch.num_rows})
+                except Exception as exc:  # capture, don't crash (S3 parity)
+                    rows.append({"file": fp, "ok": False,
+                                 "error": f"{type(exc).__name__}: {exc}",
+                                 "n_rows": 0})
+            yield pa.RecordBatch.from_pylist(rows, schema=pa.schema(
+                [("file", pa.string()), ("ok", pa.bool_()),
+                 ("error", pa.string()), ("n_rows", pa.int64())]))
+
+    return fdf.mapInArrow(
+        checker, schema="file string, ok boolean, error string, n_rows long")
 
 
 def decode_table(spark: SparkSession, out_dir: str,
                  columns: list[str] | None = None,
                  zone_filter: tuple | None = None,
-                 path_glob: str | None = None) -> DataFrame:
+                 path_glob: str | None = None,
+                 on_error: str = "raise") -> DataFrame:
     """Inverse of encode_table: manifest → DataFrame, bit-identical.
 
     Parallel over chunk files (no data shuffle at all); column pruning
     reaches the chunk container so unselected payloads are never
-    decompressed.  ``zone_filter=(col, lo, hi)`` prunes whole chunks via
-    the manifest zone maps before any file is opened — the reference's
-    dt=/hr= partition pruning, generalised; NOTE it prunes at chunk
-    granularity, so callers still apply the exact row filter (encode with
-    ``order_cols=(col,)`` for tight zones).
+    decompressed.  ``zone_filter=(col, lo, hi)`` — or a list of such
+    tuples, ANDed — prunes whole chunks via the manifest zone maps before
+    any file is opened — the reference's dt=/hr= partition pruning,
+    generalised; NOTE it prunes at chunk granularity, so callers still
+    apply the exact row filter (encode with ``order_cols=(col,)`` for
+    tight zones).  ``on_error="skip"`` scans around corrupt chunk files
+    (pair with verify_chunks to locate them).
     """
     full = table_schema(out_dir)
     logical = None
@@ -503,6 +557,7 @@ def decode_table(spark: SparkSession, out_dir: str,
     # pruned scans do ranged reads via the chunk footer index (I/O pruning,
     # not just decode pruning); full scans read each file once, sequentially
     pruned = len(names) < len(full.fields)
+    skip_bad = on_error == "skip"
 
     def reader(batches):
         try:  # same per-worker pool pinning as the encoder (see _make_encoder)
@@ -512,7 +567,16 @@ def decode_table(spark: SparkSession, out_dir: str,
             pass
         for b in batches:
             for fp in b.column(0).to_pylist():
-                yield decode_chunk_file(fp, columns=names if pruned else None)
+                try:
+                    yield decode_chunk_file(fp,
+                                            columns=names if pruned else None)
+                except Exception:
+                    # on_error="skip": scan around a damaged chunk instead
+                    # of failing the job (the reference captures decode
+                    # errors inline rather than crashing, S3 parity);
+                    # verify_chunks() reports exactly which files are bad
+                    if not skip_bad:
+                        raise
 
     out = fdf.mapInArrow(reader, schema=schema)
     if logical is not None:

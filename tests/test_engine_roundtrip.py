@@ -214,3 +214,62 @@ def test_partitioned_encode_reference_layout(spark, pages, out_dir):
         (F.date_format("warc_ts", "yyyy-MM-dd") == one[0])
         & (F.hour("warc_ts") == int(one[1])))
     _assert_same(expect, pruned)
+
+
+def test_verify_chunks_and_skip_on_error(spark, pages, out_dir):
+    """S2/S3 parity: corruption is surfaced as data, never a job failure —
+    verify_chunks pinpoints the damaged file, decode(on_error='skip')
+    scans around it."""
+    from dumpster.engine import verify_chunks
+
+    encode_table(pages, out_dir, url_col="url", n_buckets=4, chunk_rows=512)
+    v = verify_chunks(spark, out_dir)
+    assert v.filter(~F.col("ok")).count() == 0
+    assert v.agg(F.sum("n_rows")).collect()[0][0] == N_ROWS
+
+    # flip a payload byte in one chunk
+    victim = sorted(glob.glob(os.path.join(out_dir, "chunks", "*.dmc")))[0]
+    blob = bytearray(open(victim, "rb").read())
+    blob[len(blob) // 2] ^= 0xFF
+    open(victim, "wb").write(bytes(blob))
+
+    bad = verify_chunks(spark, out_dir).filter(~F.col("ok")).collect()
+    assert len(bad) == 1 and bad[0]["file"] == victim
+    assert "crc" in bad[0]["error"].lower()
+
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        decode_table(spark, out_dir).count()
+    n_good = decode_table(spark, out_dir, on_error="skip").count()
+    good_rows = [r["n_rows"] for r in
+                 read_manifest(spark, out_dir).collect()
+                 if r["file"] != victim]
+    assert n_good == sum(good_rows)
+
+
+def test_zone_filter_conjunction(spark, pages, out_dir):
+    """AND of two zone ranges prunes at least as hard as either alone and
+    never loses a matching row."""
+    encode_table(pages, out_dir, url_col="url", n_buckets=4, chunk_rows=256,
+                 order_cols=("warc_ts",), host_major=False)
+    man_rows = read_manifest(spark, out_dir).select("file", "col_stats").collect()
+    from dumpster.engine import prune_manifest_files
+    lo, hi = pages.agg(F.min("warc_ts"), F.max("warc_ts")).collect()[0]
+    full = ("warc_ts", lo, hi)
+    narrow = ("warc_ts", lo, lo + (hi - lo) / 8)
+    all_files = prune_manifest_files(man_rows, full)
+    narrowed = prune_manifest_files(man_rows, narrow)
+    # order_cols=('warc_ts',) gives tight zones → a 1/8 range prunes chunks
+    assert 0 < len(narrowed) < len(all_files)
+    # AND with the full range must not widen the narrow result
+    assert set(prune_manifest_files(man_rows, [narrow, full])) == set(narrowed)
+    # AND with a disjoint range prunes everything the narrow range kept
+    disjoint = ("warc_ts", hi, hi)
+    assert prune_manifest_files(man_rows, [narrow, disjoint]) == []
+
+    # end-to-end: conjunction decode + exact filter == plain WHERE
+    cutoff = lo + (hi - lo) / 8
+    dec = (decode_table(spark, out_dir, zone_filter=[narrow, full])
+           .filter(F.col("warc_ts") <= cutoff))
+    expect = pages.filter(F.col("warc_ts") <= cutoff)
+    _assert_same(expect, dec)
