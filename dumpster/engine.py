@@ -381,17 +381,36 @@ def encode_table_partitioned(df: DataFrame, out_dir: str, *,
     """
     from .pipeline import hour_partition
     spark = df.sparkSession
+    os.makedirs(out_dir, exist_ok=True)
     hp = hour_partition(df, ts_col)
     keys = sorted((r["dt"], int(r["hr"])) for r in
                   hp.select("dt", "hr").distinct().collect())
-    subdirs = {i: f"dt={dt}/hr={hr:02d}" for i, (dt, hr) in enumerate(keys)}
-    kdf = spark.createDataFrame(
-        [(dt, hr, i) for i, (dt, hr) in enumerate(keys)],
-        "dt string, hr int, __hour_bucket int")
+    # The hour→bucket assignment is PERSISTED: deriving it from the current
+    # snapshot would renumber buckets when a later run sees new (earlier)
+    # hours, silently mis-matching the done-bucket resume set.  Existing
+    # hours keep their ids forever; new hours append at the next free id —
+    # the same append-only contract as the reference's ADD PARTITION
+    # (HiveClient.java:88-94).
+    map_path = os.path.join(out_dir, "_hour_buckets.json")
+    assigned: dict[str, int] = {}
+    if os.path.exists(map_path):
+        with open(map_path) as f:
+            assigned = json.load(f)
+    next_id = max(assigned.values(), default=-1) + 1
+    for dt, hr in keys:
+        k = f"{dt}/{hr:02d}"
+        if k not in assigned:
+            assigned[k] = next_id
+            next_id += 1
+    _fs_write_atomic(map_path, json.dumps(assigned, sort_keys=True).encode())
+    pairs = [(k.split("/")[0], int(k.split("/")[1]), i)
+             for k, i in assigned.items()]
+    subdirs = {i: f"dt={dt}/hr={hr:02d}" for dt, hr, i in pairs}
+    kdf = spark.createDataFrame(pairs, "dt string, hr int, __hour_bucket int")
     withb = (hp.join(F.broadcast(kdf), ["dt", "hr"]).drop("dt", "hr"))
     return encode_table(
         withb, out_dir, bucket_col="__hour_bucket",
-        n_buckets=max(len(keys), 1), chunk_rows=chunk_rows,
+        n_buckets=max(next_id, 1), chunk_rows=chunk_rows,
         table_id=table_id, allow_zlib=allow_zlib, resume=resume,
         bucket_subdirs=subdirs)
 

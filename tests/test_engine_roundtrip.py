@@ -273,3 +273,24 @@ def test_zone_filter_conjunction(spark, pages, out_dir):
            .filter(F.col("warc_ts") <= cutoff))
     expect = pages.filter(F.col("warc_ts") <= cutoff)
     _assert_same(expect, dec)
+
+
+def test_partitioned_encode_append_new_earlier_hour(spark, out_dir):
+    """Incremental append: a second run that introduces an EARLIER hour
+    must not be skipped by resume — hour→bucket ids are persisted
+    append-only (_hour_buckets.json), never renumbered."""
+    from dumpster.engine import encode_table_partitioned
+    from dumpster.synth import synth_pages
+
+    pages = synth_pages(spark, 2000, seed=42).cache()
+    late = pages.filter(F.hour("warc_ts") >= 1)
+    early = pages.filter(F.hour("warc_ts") < 1)
+    assert late.count() > 0 and early.count() > 0
+
+    encode_table_partitioned(late, out_dir, ts_col="warc_ts",
+                             chunk_rows=512, table_id="inc")
+    # second run sees the full table including the new earlier hour
+    encode_table_partitioned(pages, out_dir, ts_col="warc_ts",
+                             chunk_rows=512, table_id="inc")
+    dec = decode_table(spark, out_dir)
+    _assert_same(pages, dec)
