@@ -54,19 +54,56 @@ def encode_stream(stream_df: DataFrame, out_dir: str, *,
     return writer.start()
 
 
+def encode_stream_partitioned(stream_df: DataFrame, out_dir: str, *,
+                              checkpoint: str, ts_col: str = "warc_ts",
+                              chunk_rows: int = 65536,
+                              trigger_available_now: bool = True):
+    """Stream → the reference's event-time tree, incrementally.
+
+    This is the reference's ACTUAL job shape (Kafka → hourly dt=/hr=
+    Parquet files, README.md:48): each micro-batch writes
+    ``batch=N/chunks/dt=YYYY-MM-DD/hr=HH/...`` via
+    engine.encode_table_partitioned.  The ``batch=N`` level plays the
+    role of the reference's unique ``{partition}_{firstOffset}`` file
+    names (HourlyBasedRecordConsumer.java:157): two batches can both add
+    rows to the same event-time hour without overwriting, and a
+    re-delivered batch is absorbed by the per-bucket manifest resume.
+    Read back with decode_stream_table(path_glob="*/hr=05/*") for
+    hour-pruned scans across all batches.
+    """
+    def sink(batch_df: DataFrame, batch_id: int):
+        from .engine import encode_table_partitioned
+        target = os.path.join(out_dir, f"batch={batch_id:06d}")
+        encode_table_partitioned(batch_df, target, ts_col=ts_col,
+                                 chunk_rows=chunk_rows,
+                                 table_id=f"stream_hp_b{batch_id}")
+
+    writer = (stream_df.writeStream
+              .foreachBatch(sink)
+              .option("checkpointLocation", checkpoint))
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def batch_dirs(out_dir: str) -> list[str]:
     return sorted(glob.glob(os.path.join(out_dir, "batch=*")))
 
 
 def decode_stream_table(spark: SparkSession, out_dir: str,
-                        columns: list[str] | None = None) -> DataFrame:
-    """Union of all micro-batch tables, decoded shuffle-free."""
+                        columns: list[str] | None = None,
+                        path_glob: str | None = None) -> DataFrame:
+    """Union of all micro-batch tables, decoded shuffle-free.
+
+    ``path_glob`` prunes dt=/hr= directories inside every batch (pair
+    with encode_stream_partitioned)."""
     dirs = batch_dirs(out_dir)
     if not dirs:
         raise FileNotFoundError(f"no batch=* tables under {out_dir}")
-    out = decode_table(spark, dirs[0], columns)
+    out = decode_table(spark, dirs[0], columns, path_glob=path_glob)
     for d in dirs[1:]:
-        out = out.unionByName(decode_table(spark, d, columns))
+        out = out.unionByName(
+            decode_table(spark, d, columns, path_glob=path_glob))
     return out
 
 

@@ -94,3 +94,47 @@ def test_stateful_offset_dedup_across_batches(spark, tmp_path):
            for r in spark.table("dedup_out").collect()}
     want = {(0, o) for o in range(1, 8)} | {(1, 1), (1, 2)}
     assert got == want
+
+
+def test_stream_partitioned_reference_tree(spark, tmp_path):
+    """Two micro-batches adding rows to the SAME event-time hours land in
+    separate batch=N namespaces of the dt=/hr= tree (the reference's
+    unique-filename append), and hour-pruned decode across batches equals
+    a plain hour filter on the union."""
+    import glob as _glob
+
+    from dumpster.streaming import encode_stream_partitioned
+
+    src = str(tmp_path / "psrc")
+    out = str(tmp_path / "penc")
+    ckpt = str(tmp_path / "pckpt")
+    pages = synth_pages(spark, 1000, seed=11).cache()
+    # split by row parity → both halves cover the same hours
+    a = pages.filter(F.xxhash64("url") % 2 == 0)
+    b = pages.exceptAll(a)
+    assert a.count() > 0 and b.count() > 0
+
+    a.write.mode("overwrite").parquet(os.path.join(src, "p1"))
+    schema = spark.read.parquet(os.path.join(src, "p1")).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(os.path.join(src, "*")))
+    encode_stream_partitioned(stream, out, checkpoint=ckpt,
+                              chunk_rows=512).awaitTermination(120)
+    b.write.mode("overwrite").parquet(os.path.join(src, "p2"))
+    encode_stream_partitioned(stream, out, checkpoint=ckpt,
+                              chunk_rows=512).awaitTermination(120)
+
+    # layout: batch=*/chunks/dt=*/hr=*/*.dmc
+    files = _glob.glob(os.path.join(out, "batch=*", "chunks",
+                                    "dt=*", "hr=*", "*.dmc"))
+    assert files, "no dt=/hr= chunk files written by the stream"
+
+    dec = decode_stream_table(spark, out)
+    assert dec.count() == 1000
+    assert pages.exceptAll(dec).count() == 0
+
+    pruned = decode_stream_table(spark, out, path_glob="*/hr=00/*")
+    expect = pages.filter(F.hour("warc_ts") == 0)
+    assert expect.exceptAll(pruned).count() == 0
+    assert pruned.exceptAll(expect).count() == 0
