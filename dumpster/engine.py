@@ -482,14 +482,9 @@ def verify_chunks(spark: SparkSession, out_dir: str) -> DataFrame:
     ``decode_table(on_error="skip")`` to scan around damage.
     """
     manifest = read_manifest(spark, out_dir)
-    files = sorted(r["file"] for r in
-                   manifest.select("file").distinct().collect())
-    if not files:
-        return spark.createDataFrame(
-            [], "file string, ok boolean, error string, n_rows long")
     par = max(spark.sparkContext.defaultParallelism, 1)
-    fdf = spark.createDataFrame([(f,) for f in files], "file string") \
-        .repartition(min(len(files), par * 2))
+    # distributed file list — same rationale as decode_table
+    fdf = manifest.select("file").distinct().repartition(par * 2)
 
     def checker(batches):
         for b in batches:
@@ -554,24 +549,46 @@ def decode_table(spark: SparkSession, out_dir: str,
     schema = StructType(fields)
     names = [f.name for f in fields]
 
+    # The file list stays DISTRIBUTED end-to-end: the manifest scan feeds
+    # the decode job directly, zone/path pruning runs inside mapInArrow.
+    # (At 10^12 docs the manifest holds ~10^7 chunk rows — collecting the
+    # paths to the driver would be a GB-scale single-point bottleneck.)
     manifest = read_manifest(spark, out_dir)
-    if zone_filter is not None:
-        rows = manifest.select("file", "col_stats").collect()
-        files = prune_manifest_files(rows, zone_filter)
-    else:
-        files = sorted(r["file"] for r in
-                       manifest.select("file").distinct().collect())
-    if path_glob is not None:
-        # directory pruning over the dt=/hr= layout (reference: Hive
-        # partition pruning on the same tree, HiveClient.java:88-94)
-        import fnmatch
-        files = [f for f in files if fnmatch.fnmatch(f, path_glob)]
-    if not files:
-        empty = spark.createDataFrame([], schema)
-        return _rebuild_df(empty, logical) if logical is not None else empty
     par = max(spark.sparkContext.defaultParallelism, 1)
-    fdf = spark.createDataFrame([(f,) for f in files], "file string") \
-        .repartition(min(len(files), par * 2))
+    if zone_filter is not None or path_glob is not None:
+        filters = ([zone_filter] if isinstance(zone_filter, tuple)
+                   else list(zone_filter or []))
+        filters = [(c, _stat_value(lo), _stat_value(hi))
+                   for c, lo, hi in filters]
+
+        def prune(batches):
+            import fnmatch
+            for b in batches:
+                keep = []
+                for fp, cs in zip(b.column(0).to_pylist(),
+                                  b.column(1).to_pylist()):
+                    if path_glob is not None \
+                            and not fnmatch.fnmatch(fp, path_glob):
+                        continue
+                    stats = {s["column"]: s for s in json.loads(cs)}
+                    ok = True
+                    for col, lo, hi in filters:
+                        s = stats.get(col)
+                        if s is None or s.get("vmin") is None:
+                            continue  # no stats → cannot prune
+                        if s["vmax"] < lo or s["vmin"] > hi:
+                            ok = False
+                            break
+                    if ok:
+                        keep.append(fp)
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(keep, type=pa.string())], names=["file"])
+
+        fdf = manifest.select("file", "col_stats") \
+            .mapInArrow(prune, schema="file string")
+    else:
+        fdf = manifest.select("file")
+    fdf = fdf.distinct().repartition(par * 2)
 
     # pruned scans do ranged reads via the chunk footer index (I/O pruning,
     # not just decode pruning); full scans read each file once, sequentially
