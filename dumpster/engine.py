@@ -353,7 +353,10 @@ def encode_table(df: DataFrame, out_dir: str, *, url_col: str | None = None,
                             sorted_input=locality_sort,
                             bucket_subdirs=bucket_subdirs)
     metrics = prepped.mapInArrow(encoder, schema=MANIFEST_DDL)
-    metrics.collect()  # manifest rows are tiny (one per chunk); this is the action
+    # count() is the action: it aggregates executor-side, so manifest rows
+    # (one per chunk — 10^7 at target scale) never funnel through the
+    # driver; the durable manifest is the per-bucket files the tasks wrote
+    metrics.count()
     return read_manifest(spark, out_dir)
 
 
