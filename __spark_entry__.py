@@ -392,6 +392,26 @@ def q_pruned_scan_io(spark, sf):
         (F.sum("bytes_read") < F.sum("file_bytes")).alias("io_pruned"))
 
 
+def q_sql_over_encoded_table(spark, sf):
+    """K4 parity: an encoded table published to SQL (the reference
+    registers every uploaded file in the Hive Metastore so analysts can
+    query it, HiveUtil.java:16-35).  Here register_decoded_view exposes
+    the decoded DataFrame as a temp view and plain spark.sql runs over
+    it; the oracle is the same SQL on the raw table."""
+    from dumpster.engine import register_decoded_view
+
+    docs = _t(spark, sf, "documents")
+    out = tempfile.mkdtemp(prefix="dumpster_q_sql_")
+    encode_table(docs, out, mode="local", chunk_rows=4096,
+                 table_id="documents_sqlview")
+    register_decoded_view(spark, out, "dumpster_docs_view")
+    return spark.sql("""
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM dumpster_docs_view GROUP BY lang
+    """)
+
+
 def q_schema_evolution_union(spark, sf):
     """G2 parity: two schema generations united without write failure (the
     reference keeps one writer per distinct Avro schema within an hour
@@ -476,6 +496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pruned_scan_io": q_pruned_scan_io,
         "hour_partitioned_encode": q_hour_partitioned_encode,
         "schema_evolution_union": q_schema_evolution_union,
+        "sql_over_encoded_table": q_sql_over_encoded_table,
     }
 
 
@@ -687,6 +708,11 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE CAST(extract(hour FROM ts) AS INTEGER) = 3
             GROUP BY 1
+        """,
+        "sql_over_encoded_table": """
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM documents GROUP BY lang
         """,
         "schema_evolution_union": """
             SELECT doc_id, lang, source, CAST(NULL AS DOUBLE) AS quality
