@@ -31,9 +31,10 @@ RLE = 2
 FOR = 3          # frame-of-reference + bit-pack
 DELTA_FOR = 4    # delta, then frame-of-reference + bit-pack
 FSST = 5
+BSS = 6          # byte-stream split (per-byte planes; wins via zlib stage)
 
 CODEC_NAMES = {PLAIN: "plain", DICT: "dict", RLE: "rle", FOR: "for",
-               DELTA_FOR: "delta_for", FSST: "fsst"}
+               DELTA_FOR: "delta_for", FSST: "fsst", BSS: "bss"}
 CODEC_IDS = {v: k for k, v in CODEC_NAMES.items()}
 
 

@@ -22,7 +22,8 @@ import zlib
 import numpy as np
 
 from . import base
-from .base import DELTA_FOR, DICT, FOR, FSST, PLAIN, RLE
+from .base import BSS, DELTA_FOR, DICT, FOR, FSST, PLAIN, RLE
+from .bss import decode_bss_fixed, encode_bss_fixed
 from .dictionary import (decode_dict_fixed, decode_dict_var,
                          encode_dict_fixed, encode_dict_var)
 from .forpack import (decode_delta_for, decode_for, encode_delta_for,
@@ -33,17 +34,21 @@ from .plain import (decode_plain_fixed, decode_plain_var, encode_plain_fixed,
 from .rle import (decode_rle_fixed, decode_rle_var, encode_rle_fixed,
                   encode_rle_var)
 
-# kind → applicable codecs (ints are int64 views; ts are int64 µs)
-FIXED_INT_CODECS = (PLAIN, DICT, RLE, FOR, DELTA_FOR)
-FIXED_FLOAT_CODECS = (PLAIN, DICT, RLE)
+# kind → applicable codecs (ints are int64 views; ts are int64 µs).
+# BSS is in both menus: float bit patterns (embeddings) are its primary
+# target, but near-constant high bytes of small-range ints win too —
+# the zlib-aware estimate picks it only when transpose+zlib beats the
+# alternatives' final stored size.
+FIXED_INT_CODECS = (PLAIN, DICT, RLE, FOR, DELTA_FOR, BSS)
+FIXED_FLOAT_CODECS = (PLAIN, DICT, RLE, BSS)
 VAR_CODECS = (PLAIN, DICT, RLE, FSST)
 
 _ENC_FIXED = {PLAIN: encode_plain_fixed, DICT: encode_dict_fixed,
               RLE: encode_rle_fixed, FOR: encode_for,
-              DELTA_FOR: encode_delta_for}
+              DELTA_FOR: encode_delta_for, BSS: encode_bss_fixed}
 _DEC_FIXED = {PLAIN: decode_plain_fixed, DICT: decode_dict_fixed,
               RLE: decode_rle_fixed, FOR: decode_for,
-              DELTA_FOR: decode_delta_for}
+              DELTA_FOR: decode_delta_for, BSS: decode_bss_fixed}
 _ENC_VAR = {PLAIN: encode_plain_var, DICT: encode_dict_var,
             RLE: encode_rle_var, FSST: encode_fsst_var}
 _DEC_VAR = {PLAIN: decode_plain_var, DICT: decode_dict_var,
@@ -64,6 +69,23 @@ def stable_seed(*parts) -> int:
         for b in str(p).encode():
             h = ((h ^ b) * 16777619) & 0xFFFFFFFF
     return h
+
+
+def _est_stored(payload, allow_zlib: bool) -> int:
+    """Estimated FINAL stored size of a candidate's sample payload: the
+    smaller of raw and zlib'd.  Matching the real storage decision
+    (_maybe_zlib runs on the winner) is what lets transform-style codecs
+    like BSS — size-neutral before the byte stage — win selection exactly
+    when they should."""
+    raw = _plen(payload)
+    if not allow_zlib or raw < 64:
+        return raw
+    z = len(zlib.compress(_as_bytes(payload), ZLIB_LEVEL))
+    # mirror _maybe_zlib's acceptance rule: a zlib pass that doesn't clear
+    # the ≥1/8 gain bar is DISCARDED at storage time, so the estimate must
+    # fall back to raw too — otherwise a codec whose zlib gain hovers just
+    # under the bar gets credited a size it will never store at
+    return z if z < ZLIB_MIN_GAIN * raw else raw
 
 
 def _sample_idx(n: int, seed: int, k: int = SAMPLE_ROWS) -> np.ndarray:
@@ -110,14 +132,17 @@ def select_encode_fixed(vals: np.ndarray, seed: int,
     for c in cands:
         try:
             p, _ = _ENC_FIXED[c](sample)
-            ests[c] = int(len(p) * scale)
+            ests[c] = int(_est_stored(p, allow_zlib) * scale)
         except Exception:
             continue
     winner = min(ests, key=lambda c: (ests[c], c))
     payload, meta = _ENC_FIXED[winner](vals)
     if winner != PLAIN:
+        # floor: never store worse than PLAIN.  STRICT comparison — a
+        # size-neutral transform (BSS) must survive to the zlib stage,
+        # which is where its win materialises.
         plain_p, plain_m = encode_plain_fixed(vals)
-        if len(plain_p) <= len(payload):
+        if len(plain_p) < len(payload):
             winner, payload, meta = PLAIN, plain_p, plain_m
     payload, zlibbed = _maybe_zlib(payload, allow_zlib)
     return winner, zlibbed, payload, meta, {"est": ests, "n": n}
@@ -149,7 +174,7 @@ def select_encode_var(data, offsets: np.ndarray, seed: int,
     for c in VAR_CODECS:
         try:
             p, _ = _ENC_VAR[c](s_data, s_offs)
-            ests[c] = int(_plen(p) * scale)
+            ests[c] = int(_est_stored(p, allow_zlib) * scale)
         except FsstInapplicable:
             continue
         except Exception:
@@ -205,10 +230,17 @@ def _maybe_zlib(payload, allow: bool) -> tuple[object, bool]:
     if not allow or total < 64:
         return payload, False
     probe_src = payload[-1] if isinstance(payload, list) else payload
-    # probe a 64 KiB slice first: skip the full pass when the payload is
-    # incompressible (random binary) — the common big-column case
-    if total > 256 * 1024 and len(probe_src) >= 64 * 1024:
-        probe = probe_src[:64 * 1024]
+    # probe before the full pass: skip it when the payload is
+    # incompressible (random binary) — the common big-column case.  The
+    # probe takes three 21 KiB slices (start / middle / end), not one
+    # prefix: plane-ordered payloads (BSS) put their incompressible bytes
+    # first and their runs last, and a prefix-only probe mistakes them
+    # for random
+    if total > 256 * 1024 and len(probe_src) >= 192 * 1024:
+        k, third = 64 * 1024 // 3, len(probe_src) // 3
+        probe = (bytes(probe_src[:k])
+                 + bytes(probe_src[third:third + k])
+                 + bytes(probe_src[2 * third:2 * third + k]))
         if len(zlib.compress(probe, ZLIB_LEVEL)) > ZLIB_MIN_GAIN * len(probe):
             return payload, False
     joined = b"".join(bytes(p) for p in payload) \
