@@ -128,11 +128,22 @@ def select_encode_fixed(vals: np.ndarray, seed: int,
     idx = _sample_idx(n, seed)
     sample = vals[idx]
     scale = n / max(len(idx), 1)
+    # ORDER-SENSITIVE codecs (delta, RLE) must be estimated on a contiguous
+    # run: a scattered sample inflates deltas ~n/k× and shatters runs, so
+    # they lose selection on exactly the data they are best at (sorted
+    # timestamps, host-major lang runs)
+    if n <= SAMPLE_ROWS:
+        run = vals
+    else:
+        start = seed % (n - SAMPLE_ROWS)
+        run = vals[start:start + SAMPLE_ROWS]
     ests = {}
     for c in cands:
         try:
-            p, _ = _ENC_FIXED[c](sample)
-            ests[c] = int(_est_stored(p, allow_zlib) * scale)
+            src = run if c in (DELTA_FOR, RLE) else sample
+            p, _ = _ENC_FIXED[c](src)
+            ests[c] = int(_est_stored(p, allow_zlib)
+                          * (n / max(len(src), 1)))
         except Exception:
             continue
     winner = min(ests, key=lambda c: (ests[c], c))
