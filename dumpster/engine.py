@@ -300,6 +300,18 @@ def encode_table(df: DataFrame, out_dir: str, *, url_col: str | None = None,
     files + same spark.sql.files.maxPartitionBytes).
     """
     spark = df.sparkSession
+    reserved = {"__bucket", "__host"} - {bucket_col}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"column name(s) {sorted(clash)} are reserved by the encode "
+            f"pipeline (bucket routing); rename them before encoding")
+    if _has_structs(df.schema):
+        bad = [f.name for f in df.schema.fields if FLAT_SEP in f.name]
+        if bad:
+            raise ValueError(
+                f"column name(s) {bad} contain {FLAT_SEP!r}, which is the "
+                f"struct-flattening separator; rename them before encoding")
     os.makedirs(os.path.join(out_dir, "chunks"), exist_ok=True)
     os.makedirs(os.path.join(out_dir, "manifest"), exist_ok=True)
     table_id = table_id or os.path.basename(os.path.normpath(out_dir))

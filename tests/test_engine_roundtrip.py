@@ -294,3 +294,18 @@ def test_partitioned_encode_append_new_earlier_hour(spark, out_dir):
                              chunk_rows=512, table_id="inc")
     dec = decode_table(spark, out_dir)
     _assert_same(pages, dec)
+
+
+def test_reserved_column_names_rejected(spark, tmp_path):
+    """User columns that would be clobbered by the routing pipeline or the
+    struct-flattening separator are rejected up front, not silently lost."""
+    out = str(tmp_path / "enc")
+    df = spark.range(10).withColumnRenamed("id", "__bucket")
+    with pytest.raises(ValueError, match="reserved"):
+        encode_table(df, out, n_buckets=2)
+
+    df2 = (spark.range(10)
+           .selectExpr("id", "named_struct('a', id) AS s",
+                       "id AS `bad@name`"))
+    with pytest.raises(ValueError, match="separator"):
+        encode_table(df2, str(tmp_path / "enc2"), n_buckets=2)
