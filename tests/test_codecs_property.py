@@ -116,3 +116,41 @@ def test_ranged_file_read_equals_in_memory_pruned_decode(rows, cols, seq):
 
     assert ipc(a) == ipc(b)
     assert br[0] <= len(blob) + 1
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.floats(allow_nan=True, allow_infinity=True,
+                                       width=32)),
+        st.one_of(st.none(), st.decimals(min_value=-10**15, max_value=10**15,
+                                         places=4)),
+        st.lists(st.floats(allow_nan=False, allow_infinity=False, width=32),
+                 max_size=6),
+        st.lists(st.binary(max_size=12), max_size=4)),
+    max_size=50),
+    st.integers(0, 10**6))
+def test_full_type_surface_chunk_roundtrip(rows, seq):
+    """float32 (NaN/inf bits), decimal128, list<float>, list<binary> — the
+    whole extended type surface through one chunk, any selector seed."""
+    import decimal
+
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array([r[0] for r in rows], type=pa.float32()),
+         pa.array([None if r[1] is None else r[1].quantize(
+             decimal.Decimal("0.0001")) for r in rows],
+             type=pa.decimal128(20, 4)),
+         pa.array([r[2] for r in rows], type=pa.list_(pa.float32())),
+         pa.array([r[3] for r in rows], type=pa.list_(pa.binary()))],
+        names=["f32", "dec", "emb", "blobs"])
+    blob, _ = encode_chunk(batch, table_id="prop_full", bucket=1,
+                           chunk_seq=seq)
+    out = decode_chunk(blob)
+
+    def ipc(b):
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_stream(sink, b.schema) as w:
+            w.write_batch(b)
+        return sink.getvalue().to_pybytes()
+
+    assert ipc(out) == ipc(batch)
