@@ -57,8 +57,16 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
 
     Self-equijoin on the shingle (only docs sharing ≥1 shingle pair up),
     then |A∩B| / (|A|+|B|−|A∩B|).
+
+    The shingle table feeds three consumers (per-doc sizes + both join
+    sides), so it is persisted.  Scale note: exact all-pairs Jaccard is
+    the VERIFICATION op you run on MinHash-LSH candidates (a small doc
+    subset), not on the whole crawl — at that size the exploded shingle
+    table persists comfortably; for whole-corpus dedup use
+    minhash_lsh_pairs.
     """
-    sh = shingles(df, n=n)
+    from pyspark import StorageLevel
+    sh = shingles(df, n=n).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
