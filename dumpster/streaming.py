@@ -107,6 +107,29 @@ def decode_stream_table(spark: SparkSession, out_dir: str,
     return out
 
 
+def compact_stream(spark: SparkSession, out_dir: str, dst_dir: str, *,
+                   url_col: str | None = None, n_buckets: int = 32,
+                   chunk_rows: int = 65536, mode: str = "salted",
+                   table_id: str | None = None) -> DataFrame:
+    """Compact many micro-batch chunklets into one well-chunked table.
+
+    The classic Kafka→object-store sink failure mode: each flush writes a
+    small file per hour/partition (the reference emits one parquet file
+    per writer close, HourlyBasedRecordConsumer.java:155-157), and after
+    a week the table is millions of KB-sized objects.  This op is the
+    engine's answer: decode every ``batch=N`` table (shuffle-free) and
+    re-encode into ``dst_dir`` with full-size chunks and the chosen
+    layout — the same two primitives composed, so it inherits round-trip
+    exactness and resume (an interrupted compaction redoes only missing
+    buckets).  The source is left untouched; swap directories after
+    verifying, mirroring the reference's upload-then-commit ordering.
+    """
+    df = decode_stream_table(spark, out_dir)
+    return encode_table(df, dst_dir, url_col=url_col, n_buckets=n_buckets,
+                        chunk_rows=chunk_rows, mode=mode,
+                        table_id=table_id or "compacted")
+
+
 def stream_manifest(spark: SparkSession, out_dir: str) -> DataFrame:
     """All batches' lineage/metrics rows with their batch id."""
     parts = []

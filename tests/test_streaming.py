@@ -138,3 +138,41 @@ def test_stream_partitioned_reference_tree(spark, tmp_path):
     expect = pages.filter(F.hour("warc_ts") == 0)
     assert expect.exceptAll(pruned).count() == 0
     assert pruned.exceptAll(expect).count() == 0
+
+
+def test_compact_stream_merges_chunklets(spark, tmp_path):
+    """Many micro-batch chunklets → one table with full-size chunks,
+    bit-identical content, fewer files."""
+    import glob as _glob
+
+    from dumpster.engine import decode_table, read_manifest
+    from dumpster.streaming import compact_stream, encode_stream
+
+    src = str(tmp_path / "csrc")
+    out = str(tmp_path / "cenc")
+    ckpt = str(tmp_path / "cckpt")
+    pages = synth_pages(spark, 1200, seed=21).cache()
+    # four tiny micro-batches → many small chunks
+    parts = [pages.filter(F.pmod(F.xxhash64("url"), F.lit(4)) == i)
+             for i in range(4)]
+    schema = pages.schema
+    for i, p in enumerate(parts):
+        p.write.mode("overwrite").parquet(os.path.join(src, f"p{i}"))
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", "1")
+                  .parquet(os.path.join(src, "*")))
+        encode_stream(stream, out, checkpoint=ckpt, url_col="url",
+                      n_buckets=4, chunk_rows=256).awaitTermination(120)
+
+    small = _glob.glob(os.path.join(out, "batch=*", "chunks", "*.dmc"))
+    assert len(small) > 8
+
+    dst = str(tmp_path / "compacted")
+    man = compact_stream(spark, out, dst, url_col="url", n_buckets=2,
+                         chunk_rows=65536)
+    big = _glob.glob(os.path.join(dst, "chunks", "*.dmc"))
+    assert len(big) < len(small) / 2
+    assert man.agg(F.sum("n_rows")).collect()[0][0] == 1200
+    dec = decode_table(spark, dst)
+    assert pages.exceptAll(dec).count() == 0
+    assert dec.exceptAll(pages).count() == 0
