@@ -392,6 +392,23 @@ def q_pruned_scan_io(spark, sf):
         (F.sum("bytes_read") < F.sum("file_bytes")).alias("io_pruned"))
 
 
+def q_verify_chunks_clean(spark, sf):
+    """Integrity sweep over a fresh encode (rows-only): every chunk file
+    decodes clean — corruption would surface as rows here, not as a job
+    failure (engine.verify_chunks; the reference's inline decode-error
+    capture, AvroSchemaRegistryDeserializer.java:29-42)."""
+    from dumpster.engine import verify_chunks
+
+    docs = _t(spark, sf, "documents")
+    out = tempfile.mkdtemp(prefix="dumpster_q_vfy_")
+    encode_table(docs, out, mode="local", chunk_rows=4096,
+                 table_id="documents_vfy")
+    v = verify_chunks(spark, out)
+    return v.agg(F.count("*").alias("files"),
+                 F.sum(F.col("ok").cast("long")).alias("ok_files"),
+                 F.sum("n_rows").alias("rows"))
+
+
 def q_sql_over_encoded_table(spark, sf):
     """K4 parity: an encoded table published to SQL (the reference
     registers every uploaded file in the Hive Metastore so analysts can
@@ -497,6 +514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hour_partitioned_encode": q_hour_partitioned_encode,
         "schema_evolution_union": q_schema_evolution_union,
         "sql_over_encoded_table": q_sql_over_encoded_table,
+        "verify_chunks_clean": q_verify_chunks_clean,
     }
 
 
