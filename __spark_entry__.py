@@ -81,6 +81,10 @@ def q_rle_runs_lang(spark, sf):
 
 
 def q_for_residuals_ts(spark, sf):
+    # SQL-visible demonstration of the FOR codec's residual semantics for
+    # the DuckDB oracle.  The global window is oracle-scale scaffolding
+    # only: the engine computes the same residuals per column-chunk inside
+    # mapInArrow (codecs/forpack.py), never with a one-partition window.
     e = _t(spark, sf, "events")
     w = Window.partitionBy()
     us = F.unix_micros(F.col("ts").cast("timestamp"))
@@ -89,6 +93,8 @@ def q_for_residuals_ts(spark, sf):
 
 
 def q_delta_ts(spark, sf):
+    # Same oracle-scale scaffolding note as q_for_residuals_ts: the engine
+    # takes deltas per chunk in NumPy, not with a global ordered window.
     e = _t(spark, sf, "events")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     w = Window.orderBy("event_id")
