@@ -486,6 +486,37 @@ def prune_manifest_files(manifest_rows, zone_filter) -> list[str]:
     return sorted(set(keep))
 
 
+def clean_orphans(spark: SparkSession, out_dir: str, *,
+                  dry_run: bool = False) -> dict:
+    """Remove crash leftovers: ``*.tmp`` partials and chunk files not
+    referenced by any committed manifest.
+
+    The crash contract makes garbage harmless (decode is manifest-driven,
+    resume overwrites by deterministic name) but not free — at 1000
+    executors interrupted tasks accumulate orphans indefinitely.  Mirrors
+    the reference's local cleanup (K5, HourlyBasedRecordConsumer.java:
+    91-115, delete after upload; clearPartitions on rebalance).  Safe to
+    run concurrently with readers: only unreferenced files are touched.
+    Returns {"tmp": n, "orphans": n, "bytes": n_reclaimed}.
+    """
+    referenced = {r["file"] for r in
+                  read_manifest(spark, out_dir).select("file").collect()}
+    tmp = orphans = freed = 0
+    for root, _dirs, files in os.walk(os.path.join(out_dir, "chunks")):
+        for f in files:
+            p = os.path.join(root, f)
+            if f.endswith(".tmp"):
+                tmp += 1
+            elif f.endswith(".dmc") and p not in referenced:
+                orphans += 1
+            else:
+                continue
+            freed += os.path.getsize(p)
+            if not dry_run:
+                os.remove(p)
+    return {"tmp": tmp, "orphans": orphans, "bytes": freed}
+
+
 def verify_chunks(spark: SparkSession, out_dir: str) -> DataFrame:
     """Integrity sweep: decode every chunk file, report per-file status.
 

@@ -309,3 +309,29 @@ def test_reserved_column_names_rejected(spark, tmp_path):
                        "id AS `bad@name`"))
     with pytest.raises(ValueError, match="separator"):
         encode_table(df2, str(tmp_path / "enc2"), n_buckets=2)
+
+
+def test_clean_orphans_reclaims_crash_garbage(spark, pages, out_dir):
+    """K5 parity: .tmp partials and unreferenced chunks are reclaimed;
+    referenced chunks and the decoded table are untouched."""
+    from dumpster.engine import clean_orphans
+
+    encode_table(pages, out_dir, url_col="url", n_buckets=4, chunk_rows=512)
+    chunks_dir = os.path.join(out_dir, "chunks")
+    # plant crash garbage: a partial .tmp and an orphaned chunk with no
+    # manifest entry
+    open(os.path.join(chunks_dir, "b000099_c00000.dmc.tmp"), "wb") \
+        .write(b"partial")
+    open(os.path.join(chunks_dir, "b000099_c00000.dmc"), "wb") \
+        .write(b"orphan - never committed")
+
+    report = clean_orphans(spark, out_dir, dry_run=True)
+    assert report["tmp"] == 1 and report["orphans"] == 1
+    assert os.path.exists(os.path.join(chunks_dir, "b000099_c00000.dmc"))
+
+    report = clean_orphans(spark, out_dir)
+    assert report["tmp"] == 1 and report["orphans"] == 1
+    assert not os.path.exists(os.path.join(chunks_dir, "b000099_c00000.dmc"))
+    _assert_same(pages, decode_table(spark, out_dir))
+    assert clean_orphans(spark, out_dir) == {"tmp": 0, "orphans": 0,
+                                             "bytes": 0}
