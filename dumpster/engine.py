@@ -112,15 +112,23 @@ _MANIFEST_ARROW = pa.schema([
 ])
 
 
+_TMP_SEQ = [0]
+
+
 def _fs_write_atomic(path: str, data) -> None:
-    """Durable single-writer file publish: tmp + rename (local FS).
+    """Durable file publish: unique tmp + rename (local FS).
 
     ``data`` is bytes or a list of buffers (streamed, no concatenation).
-    Production seam: swap for an S3 put / HDFS create — the manifest-after-
-    chunks ordering is what carries the crash-consistency contract, not the
-    rename itself.
+    The tmp name is unique per writer (pid + counter): CONCURRENT
+    duplicate writers — Spark speculative execution, or two resumed jobs
+    racing — each complete their own tmp and the last rename wins with
+    identical bytes (all chunk contents are deterministic), instead of
+    one writer crashing on a shared half-written tmp.  Production seam:
+    swap for an S3 put / HDFS create — the manifest-after-chunks ordering
+    is what carries the crash-consistency contract, not the rename.
     """
-    tmp = path + ".tmp"
+    _TMP_SEQ[0] += 1
+    tmp = f"{path}.{os.getpid()}-{_TMP_SEQ[0]}.tmp"
     with open(tmp, "wb") as f:
         if isinstance(data, list):
             f.writelines(data)

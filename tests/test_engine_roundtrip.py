@@ -335,3 +335,27 @@ def test_clean_orphans_reclaims_crash_garbage(spark, pages, out_dir):
     _assert_same(pages, decode_table(spark, out_dir))
     assert clean_orphans(spark, out_dir) == {"tmp": 0, "orphans": 0,
                                              "bytes": 0}
+
+
+def test_concurrent_duplicate_encode_is_safe(spark, pages, out_dir):
+    """Spark speculative execution / racing resumed jobs: two writers on
+    the same out_dir must BOTH succeed (unique tmp names; last rename wins
+    with identical deterministic bytes) and the table stays exact."""
+    import threading
+
+    errs = []
+
+    def job():
+        try:
+            encode_table(pages, out_dir, url_col="url", n_buckets=8,
+                         chunk_rows=512, table_id="race", resume=True)
+        except Exception as e:  # noqa: BLE001 - recorded for the assert
+            errs.append(repr(e))
+
+    ts = [threading.Thread(target=job) for _ in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs
+    _assert_same(pages, decode_table(spark, out_dir))
