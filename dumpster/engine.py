@@ -504,7 +504,11 @@ def clean_orphans(spark: SparkSession, out_dir: str, *,
     executors interrupted tasks accumulate orphans indefinitely.  Mirrors
     the reference's local cleanup (K5, HourlyBasedRecordConsumer.java:
     91-115, delete after upload; clearPartitions on rebalance).  Safe to
-    run concurrently with readers: only unreferenced files are touched.
+    run concurrently with READERS (only unreferenced files are touched)
+    but NOT with active writers — a chunk written ahead of its bucket's
+    manifest commit would be reclaimed as an orphan and the later commit
+    would reference a deleted file.  Run between jobs, like the
+    reference's cleanup between flushes.
     Returns {"tmp": n, "orphans": n, "bytes": n_reclaimed}.
     """
     referenced = {r["file"] for r in

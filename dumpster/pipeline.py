@@ -68,7 +68,9 @@ def dedup_replays(df: DataFrame, partition_col: str, offset_col: str) -> DataFra
     consumed for its Kafka partition (HourlyBasedPartitioner.java:199-202),
     which in batch form collapses every (partition, offset) replay to a
     single surviving row.  Window row_number keeps the plan a single
-    shuffle on the dedup key.
+    shuffle on the dedup key.  Assumes the Kafka delivery model the
+    reference relies on: a replayed (partition, offset) carries the SAME
+    record bytes, so which duplicate survives is immaterial.
     """
     from pyspark.sql import Window
     w = (Window.partitionBy(partition_col, offset_col)
