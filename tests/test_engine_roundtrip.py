@@ -359,3 +359,25 @@ def test_concurrent_duplicate_encode_is_safe(spark, pages, out_dir):
         t.join()
     assert not errs, errs
     _assert_same(pages, decode_table(spark, out_dir))
+
+
+def test_all_decode_knobs_compose(spark, pages, out_dir):
+    """zone_filter + columns + path_glob + on_error='skip' in one decode:
+    the pruning layers and the error guard must compose, not interact."""
+    encode_table(pages, out_dir, url_col="url", n_buckets=4, chunk_rows=256,
+                 order_cols=("warc_ts",), host_major=False)
+    lo, hi = pages.agg(F.min("warc_ts"), F.max("warc_ts")).collect()[0]
+    cutoff = lo + (hi - lo) / 4
+
+    dec = decode_table(spark, out_dir, columns=["url", "warc_ts"],
+                       zone_filter=[("warc_ts", lo, cutoff)],
+                       path_glob="*/chunks/*.dmc", on_error="skip")
+    assert dec.columns == ["url", "warc_ts"]
+    got = dec.filter(F.col("warc_ts") <= cutoff)
+    expect = (pages.filter(F.col("warc_ts") <= cutoff)
+              .select("url", "warc_ts"))
+    _assert_same(expect, got)
+
+    # a disjoint glob prunes everything without error
+    assert decode_table(spark, out_dir,
+                        path_glob="*/nothing/*").count() == 0
