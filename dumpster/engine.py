@@ -569,6 +569,16 @@ def decode_table(spark: SparkSession, out_dir: str,
                  zone_filter: tuple | None = None,
                  path_glob: str | None = None,
                  on_error: str = "raise") -> DataFrame:
+    return decode_tables(spark, [out_dir], columns=columns,
+                         zone_filter=zone_filter, path_glob=path_glob,
+                         on_error=on_error)
+
+
+def decode_tables(spark: SparkSession, dirs: list[str], *,
+                  columns: list[str] | None = None,
+                  zone_filter: tuple | None = None,
+                  path_glob: str | None = None,
+                  on_error: str = "raise") -> DataFrame:
     """Inverse of encode_table: manifest → DataFrame, bit-identical.
 
     Parallel over chunk files (no data shuffle at all); column pruning
@@ -580,10 +590,18 @@ def decode_table(spark: SparkSession, out_dir: str,
     apply the exact row filter (encode with ``order_cols=(col,)`` for
     tight zones).  ``on_error="skip"`` scans around corrupt chunk files
     (pair with verify_chunks to locate them).
+
+    Multiple ``dirs`` (same schema — e.g. the batch=N tables of a
+    streaming ingest) decode as ONE plan: manifests are read in a single
+    multi-path scan, so the plan stays constant-size however many tables
+    are unioned — no per-table unionByName chain.
     """
-    full = table_schema(out_dir)
+    full = table_schema(dirs[0])
+    for d in dirs[1:]:
+        if table_schema(d) != full:
+            raise ValueError(f"schema mismatch: {d} differs from {dirs[0]}")
     logical = None
-    lpath = os.path.join(out_dir, "_logical_schema.json")
+    lpath = os.path.join(dirs[0], "_logical_schema.json")
     if os.path.exists(lpath):
         with open(lpath) as f:
             logical = StructType.fromJson(json.load(f))
@@ -611,7 +629,14 @@ def decode_table(spark: SparkSession, out_dir: str,
     # the decode job directly, zone/path pruning runs inside mapInArrow.
     # (At 10^12 docs the manifest holds ~10^7 chunk rows — collecting the
     # paths to the driver would be a GB-scale single-point bottleneck.)
-    manifest = read_manifest(spark, out_dir)
+    mdirs = [os.path.join(d, "manifest") for d in dirs]
+    mdirs = [m for m in mdirs if os.path.isdir(m) and any(
+        f.startswith("b") and f.endswith(".parquet") for f in os.listdir(m))]
+    if not mdirs:
+        manifest = spark.createDataFrame([], MANIFEST_DDL)
+    else:
+        manifest = (spark.read.option("pathGlobFilter", "b*.parquet")
+                    .schema(MANIFEST_DDL).parquet(*mdirs))
     par = max(spark.sparkContext.defaultParallelism, 1)
     if zone_filter is not None or path_glob is not None:
         filters = ([zone_filter] if isinstance(zone_filter, tuple)

@@ -93,18 +93,19 @@ def batch_dirs(out_dir: str) -> list[str]:
 def decode_stream_table(spark: SparkSession, out_dir: str,
                         columns: list[str] | None = None,
                         path_glob: str | None = None) -> DataFrame:
-    """Union of all micro-batch tables, decoded shuffle-free.
+    """All micro-batch tables decoded as ONE shuffle-free plan.
 
+    engine.decode_tables reads every batch's manifests in a single
+    multi-path scan, so the plan stays constant-size however many
+    ``batch=N`` tables exist — a day of 1-minute micro-batches would
+    otherwise be a 1440-way unionByName chain and a planning-time blowup.
     ``path_glob`` prunes dt=/hr= directories inside every batch (pair
     with encode_stream_partitioned)."""
+    from .engine import decode_tables
     dirs = batch_dirs(out_dir)
     if not dirs:
         raise FileNotFoundError(f"no batch=* tables under {out_dir}")
-    out = decode_table(spark, dirs[0], columns, path_glob=path_glob)
-    for d in dirs[1:]:
-        out = out.unionByName(
-            decode_table(spark, d, columns, path_glob=path_glob))
-    return out
+    return decode_tables(spark, dirs, columns=columns, path_glob=path_glob)
 
 
 def compact_stream(spark: SparkSession, out_dir: str, dst_dir: str, *,
