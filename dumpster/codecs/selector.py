@@ -149,12 +149,14 @@ def select_encode_fixed(vals: np.ndarray, seed: int,
     winner = min(ests, key=lambda c: (ests[c], c))
     payload, meta = _ENC_FIXED[winner](vals)
     if winner != PLAIN:
-        # floor: never store worse than PLAIN.  STRICT comparison — a
-        # size-neutral transform (BSS) must survive to the zlib stage,
-        # which is where its win materialises.
-        plain_p, plain_m = encode_plain_fixed(vals)
-        if len(plain_p) < len(payload):
-            winner, payload, meta = PLAIN, plain_p, plain_m
+        # floor: never store worse than PLAIN.  PLAIN's payload size is the
+        # raw buffer — computable without encoding (the round-1 bench showed
+        # the unconditional re-encode here as a top encode-wall sink).
+        # STRICT comparison — a size-neutral transform (BSS) must survive
+        # to the zlib stage, which is where its win materialises.
+        plain_size = np.ascontiguousarray(vals).nbytes
+        if plain_size < len(payload):
+            winner, (payload, meta) = PLAIN, encode_plain_fixed(vals)
     payload, zlibbed = _maybe_zlib(payload, allow_zlib)
     return winner, zlibbed, payload, meta, {"est": ests, "n": n}
 
@@ -197,9 +199,17 @@ def select_encode_var(data, offsets: np.ndarray, seed: int,
         winner = PLAIN
         payload, meta = encode_plain_var(data, offsets)
     if winner != PLAIN:
-        plain_p, plain_m = encode_plain_var(data, offsets)
-        if _plen(plain_p) <= _plen(payload):
-            winner, payload, meta = PLAIN, plain_p, plain_m
+        # floor without re-encoding: PLAIN var = FOR-bitpacked lengths +
+        # raw data bytes; both sizes are arithmetic on the offsets array
+        lens = np.diff(offsets.astype(np.int64))
+        if n:
+            lw = base.bit_width(int(lens.max()) - int(lens.min()))
+            plain_size = ((n * lw + 7) >> 3) + int(offsets[-1]) - int(offsets[0])
+        else:
+            plain_size = 0
+        if plain_size <= _plen(payload):
+            payload, meta = encode_plain_var(data, offsets)
+            winner = PLAIN
     payload, zlibbed = _maybe_zlib(payload, allow_zlib)
     return winner, zlibbed, payload, meta, {"est": ests, "n": n}
 
