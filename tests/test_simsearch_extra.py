@@ -81,3 +81,25 @@ def test_ivf_topk_partial_probe_finds_planted_dup(emb_with_dups):
     # in the same IVF cell as q, so even a 2-cell probe must return it
     for q in qids:
         assert (q, q + 1000) in got
+
+
+def test_lsh_near_dups_equals_all_pairs_on_fixture(emb_with_dups):
+    """The scale-shaped LSH-prefiltered path must reproduce the exact
+    all-pairs result at the near-dup threshold (recall is structural for
+    exact duplicates: identical vectors share every band)."""
+    exact = {(r["id_a"], r["id_b"], r["sim"]) for r in
+             simsearch.embedding_near_dups(
+                 emb_with_dups, threshold=0.9).collect()}
+    lsh = {(r["id_a"], r["id_b"], r["sim"]) for r in
+           simsearch.embedding_near_dups_lsh(
+               emb_with_dups, threshold=0.9, n_planes=16, bands=4).collect()}
+    assert lsh == exact
+    assert len(lsh) > 0
+
+
+def test_lsh_near_dups_plan_has_no_cartesian(emb_with_dups):
+    plan = simsearch.embedding_near_dups_lsh(
+        emb_with_dups, threshold=0.9)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
