@@ -93,6 +93,7 @@ def _rebuild_df(df: DataFrame, logical: StructType) -> DataFrame:
     return df.select(*[rec(f.dataType, f.name).alias(f.name)
                        for f in logical.fields])
 
+from . import fs as fslib
 from .chunk import decode_chunk_file, encode_chunk_pieces
 from .pipeline import prep_for_encode, prep_for_encode_local
 
@@ -112,29 +113,17 @@ _MANIFEST_ARROW = pa.schema([
 ])
 
 
-_TMP_SEQ = [0]
-
-
-def _fs_write_atomic(path: str, data) -> None:
-    """Durable file publish: unique tmp + rename (local FS).
+def _fs_write_atomic(path: str, data, fs=None) -> None:
+    """Durable object publish via a pluggable backend (see dumpster.fs).
 
     ``data`` is bytes or a list of buffers (streamed, no concatenation).
-    The tmp name is unique per writer (pid + counter): CONCURRENT
-    duplicate writers — Spark speculative execution, or two resumed jobs
-    racing — each complete their own tmp and the last rename wins with
-    identical bytes (all chunk contents are deterministic), instead of
-    one writer crashing on a shared half-written tmp.  Production seam:
-    swap for an S3 put / HDFS create — the manifest-after-chunks ordering
-    is what carries the crash-consistency contract, not the rename.
+    Default backend is :class:`dumpster.fs.RenameFS` (unique tmp +
+    rename); :class:`dumpster.fs.DirectPutFS` provides S3-style
+    no-rename put semantics — the manifest-after-chunks ordering is what
+    carries the crash-consistency contract, not the rename
+    (reference upload seam: S3Uploader.java:26-43, HDFSUploader.java:25-43).
     """
-    _TMP_SEQ[0] += 1
-    tmp = f"{path}.{os.getpid()}-{_TMP_SEQ[0]}.tmp"
-    with open(tmp, "wb") as f:
-        if isinstance(data, list):
-            f.writelines(data)
-        else:
-            f.write(data)
-    os.replace(tmp, path)
+    (fs or fslib.DEFAULT_FS).put(path, data)
 
 
 def _manifest_path(out_dir: str, bucket: int) -> str:
@@ -160,7 +149,8 @@ def done_buckets(out_dir: str) -> set[int]:
 def _make_encoder(out_dir: str, table_id: str, chunk_rows: int,
                   chunk_bytes: int, allow_zlib: bool, skip: frozenset,
                   sorted_input: bool = True,
-                  bucket_subdirs: dict | None = None):
+                  bucket_subdirs: dict | None = None,
+                  fs=None):
     """Per-task encoder over Arrow batches.
 
     Buckets need not be contiguous: state is kept per bucket, chunks flush
@@ -214,7 +204,7 @@ def _make_encoder(out_dir: str, table_id: str, chunk_rows: int,
                     cs["fallback"] = True
             path = _chunk_path(out_dir, bucket, seq, bucket_subdirs)
             os.makedirs(os.path.dirname(path), exist_ok=True)
-            _fs_write_atomic(path, pieces)
+            _fs_write_atomic(path, pieces, fs)
             blob_len = sum(len(p) for p in pieces)
             ms = (time.perf_counter() - t0) * 1e3
             st["rows_out"].append({
@@ -248,7 +238,7 @@ def _make_encoder(out_dir: str, table_id: str, chunk_rows: int,
             sink = pa.BufferOutputStream()
             pq.write_table(pa.Table.from_batches([mb]), sink)
             _fs_write_atomic(_manifest_path(out_dir, bucket),
-                             sink.getvalue().to_pybytes())
+                             sink.getvalue().to_pybytes(), fs)
             return mb
 
         last_bucket = None
@@ -289,7 +279,8 @@ def encode_table(df: DataFrame, out_dir: str, *, url_col: str | None = None,
                  order_cols: tuple[str, ...] = (),
                  mode: str = "salted",
                  bucket_col: str | None = None,
-                 bucket_subdirs: dict | None = None) -> DataFrame:
+                 bucket_subdirs: dict | None = None,
+                 fs=None) -> DataFrame:
     """Encode ``df`` into chunk files + manifest under ``out_dir``.
 
     Bucketing: pass ``url_col`` for web-page tables (salted host buckets,
@@ -371,7 +362,7 @@ def encode_table(df: DataFrame, out_dir: str, *, url_col: str | None = None,
     encoder = _make_encoder(out_dir, table_id, chunk_rows, chunk_bytes,
                             allow_zlib, frozenset(done),
                             sorted_input=locality_sort,
-                            bucket_subdirs=bucket_subdirs)
+                            bucket_subdirs=bucket_subdirs, fs=fs)
     metrics = prepped.mapInArrow(encoder, schema=MANIFEST_DDL)
     # count() is the action: it aggregates executor-side, so manifest rows
     # (one per chunk — 10^7 at target scale) never funnel through the

@@ -1,0 +1,111 @@
+"""Filesystem backends for chunk/manifest publishes (K2/K3 parity).
+
+The reference ships uploads to S3 or HDFS behind one interface
+(reference: S3Uploader.java:26-43, HDFSUploader.java:25-43, Uploader.java);
+here the same seam is the ``put(path, data)`` object-publish call used by
+the encoder for every chunk and manifest file.
+
+Two backends with deliberately different commit mechanics:
+
+* :class:`RenameFS` — POSIX local/HDFS-style: unique tmp in the target
+  directory, then an atomic rename.
+* :class:`DirectPutFS` — S3-style: there is NO rename available to the
+  engine.  A put stages the object out-of-line (the analog of an
+  in-flight multipart upload — an aborted upload leaves nothing at the
+  key) and the object becomes visible all-or-nothing.  Crash injection
+  hooks (``fail_before_publish`` / ``fail_after_publish``) let tests
+  kill the job at exact publish boundaries.
+
+What makes BOTH crash-safe is not the backend: it is the engine's
+manifest-after-chunks ordering (a bucket's manifest publishes only after
+every chunk of the bucket is durable) plus deterministic chunk names
+(resume simply re-publishes identical bytes).  The DirectPutFS resume
+tests prove that ordering alone carries the contract — the rename is an
+implementation detail of one backend, not the correctness mechanism.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import threading
+
+
+class PublishCrash(RuntimeError):
+    """Injected crash at a publish boundary (tests only)."""
+
+
+class RenameFS:
+    """Local/HDFS-style publish: unique tmp + atomic rename.
+
+    The tmp name is unique per (process, thread, counter): concurrent
+    duplicate writers — Spark speculative execution, or two resumed jobs
+    racing — each complete their own tmp and the last rename wins with
+    identical bytes (all chunk contents are deterministic).  The counter
+    is an ``itertools.count`` (atomic ``__next__`` in CPython) and the
+    thread id is part of the name, so two driver threads can never draw
+    the same tmp name (round-2 ADVICE: the previous list-cell increment
+    was a non-atomic read-modify-write).
+    """
+
+    _seq = itertools.count()
+
+    def put(self, path: str, data) -> None:
+        tmp = (f"{path}.{os.getpid()}-{threading.get_ident()}"
+               f"-{next(self._seq)}.tmp")
+        with open(tmp, "wb") as f:
+            if isinstance(data, list):
+                f.writelines(data)
+            else:
+                f.write(data)
+        os.replace(tmp, path)
+
+
+class DirectPutFS:
+    """S3-style publish: no rename in the engine's vocabulary.
+
+    ``put`` stages the bytes as an in-flight upload (``.inflight-*`` next
+    to the target — S3 would hold multipart parts server-side and an
+    aborted upload leaves nothing at the key) and then commits: the
+    object appears at the key all-or-nothing.  Fault injection:
+
+    * ``fail_before_publish=n`` — the n-th put in this process raises
+      BEFORE the object becomes visible (upload aborted: key absent).
+    * ``fail_after_publish=n`` — the n-th put raises AFTER the object is
+      visible (task died between upload completion and task success).
+
+    Counters are per worker process (tests run local-mode, so the
+    injected crash hits whichever task performs the n-th publish).
+    """
+
+    def __init__(self, fail_before_publish: int | None = None,
+                 fail_after_publish: int | None = None):
+        self.fail_before_publish = fail_before_publish
+        self.fail_after_publish = fail_after_publish
+        self._n = 0
+
+    def put(self, path: str, data) -> None:
+        self._n += 1
+        stage = (f"{path}.inflight-{os.getpid()}"
+                 f"-{threading.get_ident()}-{self._n}")
+        with open(stage, "wb") as f:
+            if isinstance(data, list):
+                f.writelines(data)
+            else:
+                f.write(data)
+        if self.fail_before_publish is not None \
+                and self._n >= self.fail_before_publish:
+            os.remove(stage)  # aborted multipart upload: nothing at the key
+            raise PublishCrash(f"injected crash before publish of {path}")
+        # commit: the object appears at the key all-or-nothing.  (On real
+        # S3 this is CompleteMultipartUpload; locally the only way to get
+        # all-or-nothing visibility is a rename — the ENGINE never calls
+        # rename on this backend, and no engine code may rely on tmp
+        # files being adjacent to the key.)
+        os.replace(stage, path)
+        if self.fail_after_publish is not None \
+                and self._n >= self.fail_after_publish:
+            raise PublishCrash(f"injected crash after publish of {path}")
+
+
+DEFAULT_FS = RenameFS()
