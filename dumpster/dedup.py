@@ -26,6 +26,30 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# One live cached intermediate at a time (ADVICE r2: repeated calls used
+# to accumulate persisted shingle/signature tables until executor storage
+# filled).  Each dedup call releases the previous call's cache; callers
+# should materialize one result before starting the next dedup op, or
+# call release_dedup_cache() explicitly when done.
+_CACHE: list = []
+
+
+def _persist_tracked(df: DataFrame) -> DataFrame:
+    from pyspark import StorageLevel
+    release_dedup_cache()
+    h = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _CACHE.append(h)
+    return h
+
+
+def release_dedup_cache() -> None:
+    """Unpersist any intermediate cached by a previous dedup call."""
+    while _CACHE:
+        try:
+            _CACHE.pop().unpersist()
+        except Exception:
+            pass
+
 
 def exact_dup_groups(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
@@ -65,8 +89,7 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
     table persists comfortably; for whole-corpus dedup use
     minhash_lsh_pairs.
     """
-    from pyspark import StorageLevel
-    sh = shingles(df, n=n).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = _persist_tracked(shingles(df, n=n))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
@@ -128,9 +151,7 @@ def minhash_lsh_pairs(df: DataFrame, n_bands: int = 8, min_bands: int = 2,
     docs × n_bands × ~24 B (spills to executor disk at crawl scale, still
     far cheaper than re-shingling the corpus twice).
     """
-    from pyspark import StorageLevel
-    sig = minhash_signatures(df, n_bands, n) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    sig = _persist_tracked(minhash_signatures(df, n_bands, n))
     bucket_sizes = sig.groupBy("band", "sig").agg(F.count("*").alias("bs"))
     sig = (sig.join(bucket_sizes, ["band", "sig"])
            .filter(F.col("bs") <= max_bucket).drop("bs"))
