@@ -53,13 +53,15 @@ def get_spark(app: str = "dumpster", cores: int | str | None = None,
                  os.environ.get("DUMPSTER_DRIVER_MEM", "16g"))
          .config("spark.ui.enabled", "false")
          .config("spark.ui.showConsoleProgress", "false")
-         # web-page payloads (html bytes) are largely incompressible, so
-         # LZ4-compressing the bucket shuffle burns cores for ~0 byte
-         # savings — measured 4.7× encode wall improvement with it off in
-         # local mode.  On a network-bound real cluster re-enable with
-         # zstd and measure; this is a per-deploy knob, not a constant.
-         .config("spark.shuffle.compress", "false")
-         .config("spark.shuffle.spill.compress", "false"))
+         # Shuffle compression: round 1 measured it off as faster (the
+         # html payload is largely incompressible), but an interleaved
+         # A/B/A/B re-measurement (round 2, same sessions alternating)
+         # shows lz4 ON is ~20-25%% faster on best-of trials: the shared
+         # host is memory-bandwidth-bound, so fewer shuffle bytes beats
+         # fewer compression cycles — and on a network-shuffle cluster
+         # compression is the standard choice anyway.
+         .config("spark.shuffle.compress", "true")
+         .config("spark.shuffle.spill.compress", "true"))
     for k, v in (extra or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
