@@ -56,12 +56,24 @@ from pyspark.sql import SparkSession
 class TableJob:
     name: str
     input: str
-    mode: str = "salted"          # salted | local | hourly
+    mode: str = "salted"          # salted | local | hourly | stream_hourly
     url_col: str | None = None
     ts_col: str = "warc_ts"
     n_buckets: int | None = None
     salt_k: int | None = None
     chunk_rows: int | None = None
+    # streaming knobs (mode=stream_hourly) — the reference's per-topic
+    # tuning surface (TopicProperties.java:49-55): partitionForget (the
+    # hard flush timeout for a stale hour window,
+    # HourlyBasedPartitioner.java:140) maps to the micro-batch trigger
+    # cadence — every trigger flushes its own batch=N hour files, and a
+    # late record simply lands in a later batch's namespace (the same
+    # unique-filename contract as {partition}_{firstOffset}.parquet).
+    # `watermark` bounds state for the windowed hourly-counts side
+    # aggregate (G4's declarative form).
+    checkpoint: str | None = None
+    trigger_seconds: int | None = None   # None = availableNow (drain+stop)
+    watermark: str = "2 hours"
 
 
 @dataclass
@@ -99,7 +111,10 @@ def load_config(path: str) -> JobConfig:
             ts_col=t.get("ts_col", "warc_ts"),
             n_buckets=t.get("n_buckets"),
             salt_k=t.get("salt_k"),
-            chunk_rows=t.get("chunk_rows")))
+            chunk_rows=t.get("chunk_rows"),
+            checkpoint=t.get("checkpoint"),
+            trigger_seconds=t.get("trigger_seconds"),
+            watermark=t.get("watermark", "2 hours")))
     if not cfg.tables:
         raise ValueError("config lists no tables")
     return cfg
@@ -117,7 +132,18 @@ def run_jobs(spark: SparkSession, cfg: JobConfig) -> list[dict]:
         df = spark.read.parquet(t.input)
         out_dir = os.path.join(cfg.out_path, t.name)
         chunk_rows = t.chunk_rows or cfg.chunk_rows
-        if t.mode == "hourly":
+        if t.mode == "stream_hourly":
+            from .streaming import encode_stream_partitioned, stream_manifest
+            stream = (spark.readStream.schema(df.schema)
+                      .parquet(t.input))
+            q = encode_stream_partitioned(
+                stream, out_dir,
+                checkpoint=t.checkpoint or os.path.join(out_dir, "_ckpt"),
+                ts_col=t.ts_col, chunk_rows=chunk_rows,
+                trigger_available_now=t.trigger_seconds is None)
+            q.awaitTermination()
+            man = stream_manifest(spark, out_dir).drop("batch_id")
+        elif t.mode == "hourly":
             man = encode_table_partitioned(
                 df, out_dir, ts_col=t.ts_col, chunk_rows=chunk_rows,
                 table_id=t.name)
@@ -135,7 +161,12 @@ def run_jobs(spark: SparkSession, cfg: JobConfig) -> list[dict]:
                    "ratio": round(float(s.get("ratio", 0)), 4)}
         if cfg.register_views:
             view = cfg.view_prefix + t.name
-            register_decoded_view(spark, out_dir, view)
+            if t.mode == "stream_hourly":
+                from .streaming import decode_stream_table
+                decode_stream_table(spark, out_dir) \
+                    .createOrReplaceTempView(view)
+            else:
+                register_decoded_view(spark, out_dir, view)
             summary["view"] = view
         results.append(summary)
     return results

@@ -52,3 +52,30 @@ tables:
     results2 = run_jobs(spark, cfg)
     assert {r["table"]: r["rows"] for r in results2} == \
         {r["table"]: r["rows"] for r in results}
+
+
+def test_stream_hourly_mode(spark, tmp_path):
+    """Per-topic streaming surface (TopicProperties parity): a
+    stream_hourly table drains the input as micro-batches into the
+    batch=N/dt=/hr= tree and registers a cross-batch view."""
+    import pyspark.sql.functions as F
+    from dumpster.jobs import JobConfig, TableJob, run_jobs
+
+    src = str(tmp_path / "src")
+    (spark.createDataFrame(
+        [(i, f"2026-01-01 {i % 4:02d}:15:00") for i in range(40)],
+        "id long, ts string")
+     .select("id", F.col("ts").cast("timestamp").alias("warc_ts"))
+     .write.parquet(src))
+
+    cfg = JobConfig(out_path=str(tmp_path / "out"), register_views=True,
+                    view_prefix="sj_")
+    cfg.tables.append(TableJob(name="ev", input=src, mode="stream_hourly",
+                               chunk_rows=512))
+    res = run_jobs(spark, cfg)
+    assert res[0]["rows"] == 40 and res[0]["view"] == "sj_ev"
+    got = spark.sql("SELECT count(*) AS n FROM sj_ev").collect()[0]["n"]
+    assert got == 40
+    import glob as g
+    assert g.glob(str(tmp_path / "out" / "ev" / "batch=*" /
+                      "chunks" / "dt=2026-01-01" / "hr=*"))
