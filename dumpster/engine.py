@@ -834,7 +834,10 @@ def decode_tables(spark: SparkSession, dirs: list[str], *,
             .mapInArrow(prune, schema="file string")
     else:
         fdf = manifest.select("file")
-    fdf = fdf.distinct().repartition(par * 2)
+    # ONE exchange, carrying only file-name strings: hash-repartition on
+    # the dedup key and let dropDuplicates reuse that distribution
+    # (distinct().repartition(n) was two back-to-back shuffles)
+    fdf = fdf.repartition(par * 2, F.col("file")).dropDuplicates(["file"])
 
     # pruned scans do ranged reads via the chunk footer index (I/O pruning,
     # not just decode pruning); full scans read each file once, sequentially
