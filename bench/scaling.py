@@ -158,21 +158,31 @@ Other local-mode engineering notes (dumpster/session.py):
 * `spark.task.cpus` is raised to 3 at ≥24 cores: an Arrow-UDF stage runs a
   Python worker per slot NEXT TO the JVM thread feeding it, and slots ≈
   cores oversubscribes the box 2× — capping concurrent workers removed a
-  3-13× encode-wall inflation at local[32].  On a real cluster the same
-  intent is expressed per-executor (executor cores < vcores for
-  Python-heavy stages).
-* shuffle compression is disabled: web-page html is incompressible, and
-  LZ4 on the bucket shuffle burned cores for zero byte savings (4.7×
-  encode wall improvement measured).  On a network-bound cluster
-  re-enable with zstd and measure.
+  3-13× encode-wall inflation at local[32].  Re-measured in round 2 with
+  the 3.9×-faster codec: task.cpus=1 still thrashes (3× worse); 2 ≈ 3
+  within noise; 3 kept.  On a real cluster the same intent is expressed
+  per-executor (executor cores < vcores for Python-heavy stages).
+* shuffle compression is ON (lz4): a round-2 interleaved A/B/A/B shows it
+  ~20-25% faster on best-of trials — the box is bandwidth-bound, so fewer
+  shuffle bytes wins (and network-shuffle clusters compress anyway).
 * scaling runs place spark.local.dir + outputs on /dev/shm: the sandbox
   has ONE ~750 MB/s virtio disk shared by all threads, another shared
   resource a real cluster scales per-node.
+
+<!-- scaling:end — hand-maintained sections below survive scaling.py -->
 """
     md = md.replace("{n_lo}", str(n_lo)).replace("{n_hi}", str(n_hi))
 
-    with open(os.path.join(REPO, "bench", "BENCH.md"), "w") as f:
-        f.write(md)
+    bench_md = os.path.join(REPO, "bench", "BENCH.md")
+    marker = "<!-- scaling:end"
+    tail = ""
+    if os.path.exists(bench_md):
+        cur = open(bench_md).read()
+        i = cur.find(marker)
+        if i >= 0:
+            tail = cur[cur.index("\n", i) + 1:]
+    with open(bench_md, "w") as f:
+        f.write(md + tail)
     with open(os.path.join(REPO, "bench", "scaling_results.json"), "w") as f:
         json.dump({"levels": list(levels), f"local{n_lo}": r8, f"local{n_hi}": r32,
                    "encode_scaling_efficiency": round(eff_enc, 4),
