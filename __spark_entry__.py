@@ -184,11 +184,19 @@ def q_minhash_lsh_pairs(spark, sf):
                                    min_bands=2, n=3, max_bucket=10**9)
 
 
-def q_simhash_groups(spark, sf):                      # rows-only (UDF hash)
+def q_simhash_groups(spark, sf):
+    # oracle-checked since round 2: token hashes are md5-derived and
+    # DuckDB has md5(); the 64 bit-votes unroll into 64 sum aggregates
+    # (see the generated SQL in oracle_sql)
     return dedup.simhash_groups(_augmented_docs(spark, sf))
 
 
-def q_doc_fingerprints(spark, sf):                    # rows-only (UDF hash)
+def q_doc_fingerprints(spark, sf):
+    # oracle-checked since round 2: the polynomial rolling hash is
+    # expressible in DuckDB with HUGEINT + list_reduce (the fixture text
+    # is pure ASCII, so ascii(char) == the UTF-8 byte the Spark kernel
+    # hashes; verified octet_length(encode(text)) == length(text) for
+    # every fixture row)
     d = _t(spark, sf, "documents")
     return d.select("doc_id", textops.doc_fingerprint("text").alias("fp"))
 
@@ -836,6 +844,53 @@ def oracle_sql() -> dict[str, str]:
                    AS BIGINT) AS score_sum
         FROM documents
     """
+    d["doc_fingerprints"] = """
+        SELECT doc_id,
+               CASE WHEN text IS NULL THEN -1 ELSE
+               CAST(list_reduce(
+                 list_prepend(CAST(0 AS HUGEINT),
+                   list_transform(string_to_array(text, ''),
+                                  c -> CAST(ascii(c) AS HUGEINT))),
+                 (h, b) -> (h * 1000003 + b)
+                           % CAST(2305843009213693951 AS HUGEINT))
+               AS BIGINT) END AS fp
+        FROM documents
+    """
+    # simhash_groups: md5 token hashes (low 8 bytes LE) + 64 unrolled
+    # bit-vote aggregates; converted from rows-only in round 2
+    _h = "(" + " + ".join(
+        f"CAST(CAST(('0x' || substr(md5(t), {2*i+1}, 2)) AS BIGINT) AS HUGEINT)"
+        f" * CAST({256**i} AS HUGEINT)" for i in range(8)) + ")"
+    _bit_sums = ", ".join(
+        f"sum(CAST((h // CAST({1 << b} AS HUGEINT)) %% 2 AS BIGINT)) AS o{b}"
+        for b in range(64)).replace("%%", "%")
+    _sig = " + ".join(
+        f"(CASE WHEN 2 * o{b} >= n THEN CAST({1 << b} AS HUGEINT) ELSE 0 END)"
+        for b in range(64))
+    d["simhash_groups"] = f"""
+        WITH aug AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, text FROM documents WHERE doc_id %% 20 = 0),
+        toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM aug
+          WHERE text IS NOT NULL AND text != ''),
+        th AS (SELECT doc_id, {{_h}} AS h FROM toks),
+        votes AS (SELECT doc_id, count(*) AS n, {{_bit_sums}}
+                  FROM th GROUP BY doc_id),
+        sig0 AS (SELECT doc_id, ({{_sig}}) AS u FROM votes),
+        sigs AS (
+          SELECT doc_id,
+                 CAST(CASE WHEN u >= CAST(9223372036854775808 AS HUGEINT)
+                      THEN u - CAST(18446744073709551616 AS HUGEINT) ELSE u END
+                      AS BIGINT) AS simhash
+          FROM sig0
+          UNION ALL
+          SELECT doc_id, 0 FROM aug WHERE text IS NULL OR text = '')
+        SELECT simhash, CAST(count(*) AS BIGINT) AS cnt,
+               CAST(min(doc_id) AS BIGINT) AS keeper
+        FROM sigs GROUP BY simhash HAVING count(*) > 1
+    """.replace("%%", "%").format(_h=_h, _bit_sums=_bit_sums, _sig=_sig)
     # ann_lsh_buckets: the hyperplane matrix is deterministic (seeded, no
     # wall clock), so it serializes into the SQL as literals and DuckDB
     # reproduces the exact sign-bit bucket ids (round-1 verdict item 9:
