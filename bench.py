@@ -183,6 +183,37 @@ def main():
         (decode_table(spark, out, columns=["lang"])
          .groupBy("lang").count().collect())
         timings["decode_lang_column_only"] = time.perf_counter() - t0
+
+    # structural-floor measurements: a NO-OP mapInArrow passthrough (no
+    # codec, no output) over (a) the bare scan and (b) the salted shuffle.
+    # These locate the Python-boundary + shuffle cost that bounds ANY
+    # Python-codec engine on this input, independent of codec speed —
+    # context for the encode_pages : reference_parquet_write ratio
+    # (bench/BENCH.md "encode-wall anatomy").
+    floor_scan = floor_shuffled = None
+    if not minimal:
+        import pyarrow as _pa
+        from dumpster.pipeline import prep_for_encode
+
+        def _passthru(batches):
+            n = 0
+            for b in batches:
+                n += b.num_rows
+            yield _pa.RecordBatch.from_pylist(
+                [{"n": n}], schema=_pa.schema([("n", _pa.int64())]))
+
+        for label, df in (("floor_scan_passthrough", pages),
+                          ("floor_shuffled_passthrough",
+                           prep_for_encode(pages, "url", N_BUCKETS, 4))):
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                df.mapInArrow(_passthru, "n long").count()
+                w = time.perf_counter() - t0
+                best = w if best is None else min(best, w)
+            timings[label] = best
+        floor_scan = timings["floor_scan_passthrough"]
+        floor_shuffled = timings["floor_shuffled_passthrough"]
     enc_bytes = int(s["encoded_bytes"])
 
     # --- representative operator queries on the driver sf tables ------------
