@@ -349,11 +349,12 @@ def encode_table(df: DataFrame, out_dir: str, *, url_col: str | None = None,
             # carries its version history.  Old chunks simply lack the new
             # columns — decode fills them with nulls (read-side evolution).
             evolved = _evolve_schema(old, new)
-            ver = 1 + len(schema_versions(out_dir))
-            _fs_write_atomic(
-                os.path.join(out_dir, f"_schema.v{ver}.json"),
-                old.json().encode())
-            _fs_write_atomic(schema_path, evolved.json().encode())
+            if evolved != old:   # nullability-only diffs are not a version
+                ver = 1 + len(schema_versions(out_dir))
+                _fs_write_atomic(
+                    os.path.join(out_dir, f"_schema.v{ver}.json"),
+                    old.json().encode())
+                _fs_write_atomic(schema_path, evolved.json().encode())
 
     done = done_buckets(out_dir) if resume else set()
 
