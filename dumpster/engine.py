@@ -762,13 +762,24 @@ def decode_tables(spark: SparkSession, dirs: list[str], *,
     """
     full = table_schema(dirs[0])
     for d in dirs[1:]:
-        if table_schema(d) != full:
-            raise ValueError(f"schema mismatch: {d} differs from {dirs[0]}")
+        other = table_schema(d)
+        if other != full:
+            # add-only union across tables (same contract as write-side
+            # schema evolution): a stream whose schema widened across
+            # restarts still decodes as ONE table, older batches
+            # null-filled; genuine type conflicts raise
+            full = _evolve_schema(full, other)
     logical = None
     lpath = os.path.join(dirs[0], "_logical_schema.json")
     if os.path.exists(lpath):
         with open(lpath) as f:
             logical = StructType.fromJson(json.load(f))
+        for d in dirs[1:]:
+            lp = os.path.join(d, "_logical_schema.json")
+            if not os.path.exists(lp) or open(lp).read() != open(lpath).read():
+                raise ValueError(
+                    "struct-typed tables must share an identical logical "
+                    f"schema across dirs; {d} differs from {dirs[0]}")
 
     visible = logical if logical is not None else full
     if columns is not None:
