@@ -103,3 +103,33 @@ def test_no_per_token_python_in_hot_path():
     finally:
         hashlib.md5 = orig
     assert calls == []
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(0, (1 << 61) - 2), min_size=1, max_size=50),
+       st.integers(0, (1 << 61) - 2))
+def test_modmul61_matches_python_bigints(avals, b):
+    import numpy as np
+    from dumpster.textops import _modmul61, MOD
+    a = np.array(avals, dtype=np.uint64)
+    got = _modmul61(a, np.uint64(b))
+    want = [(int(x) * b) % MOD for x in avals]
+    assert got.tolist() == want
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.binary(min_size=0, max_size=80), min_size=1, max_size=40))
+def test_md5vec_fuzz_bit_exact(msgs):
+    import hashlib
+    import numpy as np
+    from dumpster.md5vec import md5_lsb8
+    data = np.frombuffer(b"".join(msgs), dtype=np.uint8)
+    offs = np.zeros(len(msgs) + 1, dtype=np.int64)
+    offs[1:] = np.cumsum([len(m) for m in msgs])
+    got = md5_lsb8(data, offs)
+    want = np.array([int.from_bytes(hashlib.md5(m).digest()[:8], "little")
+                     for m in msgs], dtype=np.uint64)
+    assert np.array_equal(got, want)
