@@ -184,6 +184,15 @@ def q_minhash_lsh_pairs(spark, sf):
                                    min_bands=2, n=3, max_bucket=10**9)
 
 
+def q_near_dup_components(spark, sf):
+    """Fuzzy-dedup clustering: connected components over MinHash-LSH pair
+    edges (keep component == doc_id as the canonical survivor).  Oracle =
+    a DuckDB recursive CTE over the SAME SQL-reproduced edge set."""
+    pairs = dedup.minhash_lsh_pairs(_augmented_docs(spark, sf), n_bands=8,
+                                    min_bands=2)
+    return dedup.near_dup_components(pairs)
+
+
 def q_simhash_groups(spark, sf):
     # oracle-checked since round 2: token hashes are md5-derived and
     # DuckDB has md5(); the 64 bit-votes unroll into 64 sum aggregates
@@ -563,6 +572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "near_dup_components": q_near_dup_components,
         "simhash_groups": q_simhash_groups,
         "doc_fingerprints": q_doc_fingerprints,
         "lang_id": q_lang_id,
@@ -720,6 +730,32 @@ def oracle_sql() -> dict[str, str]:
               ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id
             HAVING count(*) >= 2
+        """,
+        "near_dup_components": f"""
+            WITH RECURSIVE {_AUG_CTE}, {_SHINGLE_CTE.format(src='aug')},
+            hs AS (SELECT doc_id,
+                          CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT)
+                              % 1073741789 AS h
+                   FROM sh),
+            bands(band) AS (VALUES (0),(1),(2),(3),(4),(5),(6),(7)),
+            sig AS (SELECT doc_id, band,
+                           min(((band * 2 + 1) * h + band) % 1073741789) AS sig
+                    FROM hs CROSS JOIN bands GROUP BY doc_id, band),
+            edges AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                      FROM sig a JOIN sig b
+                        ON a.band = b.band AND a.sig = b.sig
+                       AND a.doc_id < b.doc_id
+                      GROUP BY a.doc_id, b.doc_id
+                      HAVING count(*) >= 2),
+            sym AS (SELECT id_a AS src, id_b AS dst FROM edges
+                    UNION ALL
+                    SELECT id_b, id_a FROM edges),
+            reach(id, r) AS (
+                SELECT DISTINCT src, src FROM sym
+                UNION
+                SELECT s.src, reach.r FROM sym s JOIN reach ON reach.id = s.dst)
+            SELECT id, CAST(min(r) AS BIGINT) AS component
+            FROM reach GROUP BY id
         """,
         "lang_id": textops.lang_id_sql(),
         "quality_scores": """

@@ -182,3 +182,48 @@ def dedup_keep_first(df: DataFrame, text_col: str = "text",
     w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
     return (df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1).drop("__rn"))
+
+
+def near_dup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over near-dup pair edges — the clustering step
+    of a fuzzy-dedup pipeline (pairs from minhash_lsh_pairs /
+    embedding_near_dups_lsh; keep component == doc_id as the canonical
+    survivor, drop the rest).
+
+    Algorithm: iterative min-label propagation.  Every node starts
+    labelled with itself; each round pulls the minimum label across its
+    neighbors; converges in O(component diameter) rounds — near-dup
+    clusters are dense and shallow, so a handful of rounds in practice.
+    Spark shape per round: ONE shuffle (join on the edge endpoint) plus a
+    tiny aggregate for the convergence check; labels persist between
+    rounds and lineage is cut with localCheckpoint so the plan stays
+    constant-size (the classic iterative-algorithm trap).  At 10^12 docs
+    the label table is (doc_id, label) longs — small next to the corpus.
+
+    Returns (id, component) where component = min doc_id reachable.
+    """
+    edges = pairs.select(F.col("id_a").cast("long").alias("src"),
+                         F.col("id_b").cast("long").alias("dst"))
+    sym = edges.unionAll(edges.select(F.col("dst").alias("src"),
+                                      F.col("src").alias("dst")))
+    sym = _persist_tracked(sym)
+    labels = (sym.select(F.col("src").alias("id")).distinct()
+              .withColumn("label", F.col("id")))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr_min = (sym.join(labels.withColumnRenamed("id", "dst")
+                            .withColumnRenamed("label", "nl"), "dst")
+                   .groupBy("src").agg(F.min("nl").alias("nbr_label")))
+        merged = (labels.join(nbr_min.withColumnRenamed("src", "id"),
+                              "id", "left")
+                  .select("id", F.least(
+                      F.col("label"),
+                      F.coalesce(F.col("nbr_label"), F.col("label")))
+                      .alias("new_label"), "label"))
+        changed = merged.filter(F.col("new_label") != F.col("label")) \
+            .limit(1).count()
+        labels = merged.select("id", F.col("new_label").alias("label")) \
+            .localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("label").alias("component"))

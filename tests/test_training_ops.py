@@ -119,3 +119,13 @@ def test_media_decode_stub_contract(spark):
     df = spark.createDataFrame(rows, "id long, blob binary")
     feats = media_features(df, "id", "blob", dim=8).collect()
     assert all(len(r["features"]) == 8 for r in feats)
+
+
+def test_near_dup_components_chain_and_isolates(spark):
+    """Chains collapse to one component (transitivity beyond direct
+    pairs); disconnected nodes keep their own label."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21)], "id_a long, id_b long")
+    out = {r["id"]: r["component"]
+           for r in dedup.near_dup_components(edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
