@@ -133,7 +133,8 @@ def run_jobs(spark: SparkSession, cfg: JobConfig) -> list[dict]:
         out_dir = os.path.join(cfg.out_path, t.name)
         chunk_rows = t.chunk_rows or cfg.chunk_rows
         if t.mode == "stream_hourly":
-            from .streaming import encode_stream_partitioned, stream_manifest
+            from .streaming import (encode_stream_partitioned,
+                                    hourly_windowed_counts, stream_manifest)
             stream = (spark.readStream.schema(df.schema)
                       .parquet(t.input))
             q = encode_stream_partitioned(
@@ -142,6 +143,20 @@ def run_jobs(spark: SparkSession, cfg: JobConfig) -> list[dict]:
                 ts_col=t.ts_col, chunk_rows=chunk_rows,
                 trigger_available_now=t.trigger_seconds is None)
             q.awaitTermination()
+            if t.watermark:
+                # G4 side output: watermarked hourly counts — the
+                # declarative form of the reference's window-close
+                # bookkeeping; the watermark bounds the agg state
+                cq = (hourly_windowed_counts(stream, t.ts_col, t.watermark)
+                      .writeStream.outputMode("append")
+                      .option("checkpointLocation",
+                              os.path.join(out_dir, "_ckpt_counts"))
+                      .trigger(availableNow=True)
+                      .format("parquet")
+                      .option("path",
+                              os.path.join(out_dir, "_hourly_counts"))
+                      .start())
+                cq.awaitTermination()
             man = stream_manifest(spark, out_dir).drop("batch_id")
         elif t.mode == "hourly":
             man = encode_table_partitioned(

@@ -79,3 +79,11 @@ def test_stream_hourly_mode(spark, tmp_path):
     import glob as g
     assert g.glob(str(tmp_path / "out" / "ev" / "batch=*" /
                       "chunks" / "dt=2026-01-01" / "hr=*"))
+    # watermarked hourly-counts side table (G4 declarative form): append
+    # mode emits a window only once the watermark passes it — max event
+    # time is 03:15, watermark 2h -> only [00:00, 01:00) has closed.
+    # Hours 1-3 are retained as state, exactly the reference's "window
+    # stays open until quiet period / forget timeout" behavior.
+    counts = spark.read.parquet(str(tmp_path / "out" / "ev" / "_hourly_counts"))
+    got = {(r["hour_start"].hour): r["n"] for r in counts.collect()}
+    assert got == {0: 10}
