@@ -90,13 +90,51 @@ def media_features(df: DataFrame, id_col: str, bin_col: str,
     def feats(batches):
         for batch in batches:
             ids, blobs = batch.column(0), batch.column(1)
-            out = []
-            for b in blobs.to_pylist():
-                out.append(None if b is None
-                           else decode_media(bytes(b), fake=fake, dim=dim).tolist())
+            if not fake:
+                # real decode is per-item by nature (a C decoder call per
+                # image); the stub path below is fully vectorized
+                out = [None if b is None
+                       else decode_media(bytes(b), fake=fake, dim=dim).tolist()
+                       for b in blobs.to_pylist()]
+                yield pa.RecordBatch.from_arrays(
+                    [ids.cast(pa.int64()),
+                     pa.array(out, type=pa.list_(pa.float32()))],
+                    names=["id", "features"])
+                continue
+            # vectorized fake features: gather each blob's first dim*8
+            # bytes into a zero-padded (n, dim*8) matrix (no per-blob
+            # Python), view as uint64 lanes, hash-normalize
+            arr = blobs.combine_chunks() if isinstance(
+                blobs, pa.ChunkedArray) else blobs
+            n = len(arr)
+            offs = np.frombuffer(arr.buffers()[1], dtype=np.int32,
+                                 count=n + 1 + arr.offset)[arr.offset:]
+            offs = offs.astype(np.int64)
+            dbuf = arr.buffers()[2]
+            data = (np.frombuffer(dbuf, dtype=np.uint8)
+                    if dbuf is not None else np.empty(0, np.uint8))
+            lens = np.minimum(np.diff(offs), dim * 8)
+            M = np.zeros((n, dim * 8), dtype=np.uint8)
+            total = int(lens.sum())
+            if total:
+                within = np.arange(total, dtype=np.int64) - np.repeat(
+                    np.concatenate(([0], np.cumsum(lens)[:-1])), lens)
+                M[np.repeat(np.arange(n), lens), within] = \
+                    data[np.repeat(offs[:-1], lens) + within]
+            h = M.view("<u8")
+            vals = ((h % np.uint64(10_000)).astype(np.float32)
+                    / np.float32(10_000.0))
+            feats_arr = pa.FixedSizeListArray.from_arrays(
+                pa.array(vals.ravel(), type=pa.float32()), dim) \
+                .cast(pa.list_(pa.float32()))
+            if arr.null_count:
+                mask = np.asarray(arr.is_null())
+                py = feats_arr.to_pylist()
+                feats_arr = pa.array(
+                    [None if m else v for m, v in zip(mask, py)],
+                    type=pa.list_(pa.float32()))
             yield pa.RecordBatch.from_arrays(
-                [ids.cast(pa.int64()),
-                 pa.array(out, type=pa.list_(pa.float32()))],
+                [ids.cast(pa.int64()), feats_arr],
                 names=["id", "features"])
 
     return df.select(id_col, bin_col).mapInArrow(
