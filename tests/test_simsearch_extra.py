@@ -103,3 +103,22 @@ def test_lsh_near_dups_plan_has_no_cartesian(emb_with_dups):
         .executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lsh_near_dups_recall_at_loose_threshold(emb_with_dups):
+    """At looser thresholds (0.5) banding recall is probabilistic — measure
+    it against the exact all-pairs result so the tradeoff is explicit.
+    Exact duplicates must ALWAYS be recalled (identical signatures);
+    borderline organic pairs may be missed, which is the documented LSH
+    contract (raise n_planes/bands for higher recall)."""
+    exact = {(r["id_a"], r["id_b"]) for r in
+             simsearch.embedding_near_dups(
+                 emb_with_dups, threshold=0.5).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in
+           simsearch.embedding_near_dups_lsh(
+               emb_with_dups, threshold=0.5, n_planes=16, bands=8).collect()}
+    assert lsh.issubset(exact)                      # no false positives
+    dup_pairs = {p for p in exact if p[1] == p[0] + 1000}
+    assert dup_pairs.issubset(lsh)                  # exact dups: recall 1
+    recall = len(lsh) / max(len(exact), 1)
+    assert recall >= 0.8, f"recall {recall:.2f} below documented floor"
