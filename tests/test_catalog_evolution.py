@@ -133,3 +133,29 @@ def test_decode_tables_unions_evolved_schemas(spark, docs, tmp_path):
                  bucket_expr=F.lit(0), n_buckets=1, resume=False)
     with pytest.raises(ValueError, match="cannot change column"):
         decode_tables(spark, [d1, d3]).count()
+
+
+def test_evolved_store_pruned_and_zone_filtered_decode(spark, docs, tmp_path):
+    """Interaction surface: column-pruned + zone-filtered decode over an
+    evolved store.  Old chunks lack the added column entirely (no data,
+    no zone stats): pruned reads must null-fill it and a zone filter on
+    the evolved column must keep statless chunks conservatively."""
+    out = str(tmp_path / "evo_zone")
+    encode_table(docs.filter("doc_id % 2 = 0"), out, bucket_expr=F.lit(0),
+                 n_buckets=1, chunk_rows=64, order_cols=("doc_id",),
+                 resume=False)
+    encode_table(docs.filter("doc_id % 2 = 1")
+                 .withColumn("score", (F.col("doc_id") * 2).cast("long")),
+                 out, bucket_expr=F.lit(1), n_buckets=2, chunk_rows=64,
+                 order_cols=("doc_id",), resume=False)
+    dec = decode_table(spark, out, columns=["doc_id", "score"],
+                       zone_filter=("doc_id", 50, 99))
+    rows = dec.filter("doc_id BETWEEN 50 AND 99").collect()
+    assert sorted(r["doc_id"] for r in rows) == list(range(50, 100))
+    for r in rows:
+        assert r["score"] == (None if r["doc_id"] % 2 == 0
+                              else r["doc_id"] * 2)
+    # zone filter on the EVOLVED column: old statless chunks stay in scan
+    n = decode_table(spark, out, columns=["doc_id", "score"],
+                     zone_filter=("score", 100, 120)).count()
+    assert n > 0
