@@ -634,13 +634,18 @@ def clean_orphans(spark: SparkSession, out_dir: str, *,
                     continue
                 with entries:
                     for e in entries:
-                        if e.is_file() and (e.name.endswith(".tmp")
+                        # .tmp (RenameFS) and .inflight-* (DirectPutFS) are
+                        # in-flight writer garbage; .dmc are candidates for
+                        # the manifest anti-join
+                        in_flight = (e.name.endswith(".tmp")
+                                     or ".inflight-" in e.name)
+                        if e.is_file() and (in_flight
                                             or e.name.endswith(".dmc")):
                             p = os.path.join(d, e.name)
                             rows.append({
                                 "path": p,
                                 "rel": _chunks_relpath(p),
-                                "is_tmp": e.name.endswith(".tmp"),
+                                "is_tmp": in_flight,
                                 "size": e.stat().st_size})
             yield pa.RecordBatch.from_pylist(rows, schema=pa.schema(
                 [("path", pa.string()), ("rel", pa.string()),

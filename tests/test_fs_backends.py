@@ -103,3 +103,21 @@ def test_rename_fs_tmp_names_unique_across_threads():
     for t in threads:
         t.join()
     assert len(set(names)) == len(names)
+
+
+def test_clean_orphans_sweeps_inflight_staging(spark, pages, tmp_path):
+    """A hard crash between DirectPutFS staging and publish leaves an
+    .inflight file; clean_orphans must reclaim it like .tmp garbage."""
+    from dumpster.engine import clean_orphans
+
+    out = str(tmp_path / "enc_inflight")
+    encode_table(pages, out, url_col="url", n_buckets=4,
+                 chunk_rows=256, table_id="t", fs=DirectPutFS())
+    victim = os.path.join(out, "chunks",
+                          "b000001_c00000.dmc.inflight-999-1-7")
+    open(victim, "wb").write(b"partial multipart upload")
+    report = clean_orphans(spark, out)
+    assert report["tmp"] == 1 and report["orphans"] == 0
+    assert not os.path.exists(victim)
+    from dumpster.engine import decode_table
+    assert decode_table(spark, out).count() == pages.count()
