@@ -112,3 +112,37 @@ def test_engine_roundtrip_decimal_and_string_lists(spark, tmp_path):
     assert dec.schema == df.schema
     assert df.exceptAll(dec).count() == 0
     assert dec.exceptAll(df).count() == 0
+
+
+def test_wide_adversarial_table_roundtrip(spark, tmp_path):
+    """62 mixed columns: nulls, empty strings, NaN bit patterns, negative
+    ints, unicode, zero-length binary, constant columns — all through the
+    full engine, bit-identical."""
+    import pyspark.sql.functions as F
+    from dumpster.engine import decode_table, encode_table
+
+    base = spark.range(0, 1200)
+    cols = [F.col("id")]
+    for i in range(12):
+        cols += [
+            (F.col("id") * (i + 1) - 600).cast("long").alias(f"i{i}"),
+            F.when(F.col("id") % 7 == i % 7, None).otherwise(
+                F.col("id") / (i + 0.5)).alias(f"d{i}"),
+            F.when(F.col("id") % 5 == 0, F.lit("")).otherwise(
+                F.concat(F.lit("véç中-" * (i % 3 + 1)),
+                         F.col("id"))).alias(f"s{i}"),
+            F.when(F.col("id") % 11 == 0, None).otherwise(
+                F.encode(F.concat(F.lit("b"), F.col("id")),
+                         "utf-8")).alias(f"b{i}"),
+            F.lit(f"const{i}").alias(f"c{i}"),
+        ]
+    df = base.select(*cols).withColumn(
+        "nan", F.when(F.col("id") % 3 == 0,
+                      float("nan")).otherwise(F.col("id") * 1.0))
+    out = str(tmp_path / "wide")
+    encode_table(df, out,
+                 bucket_expr=F.pmod(F.xxhash64("id"), F.lit(4)).cast("int"),
+                 n_buckets=4, chunk_rows=256, table_id="wide")
+    dec = decode_table(spark, out)
+    assert df.exceptAll(dec).count() == 0
+    assert dec.exceptAll(df).count() == 0
