@@ -74,8 +74,11 @@ class DirectPutFS:
     * ``fail_after_publish=n`` — the n-th put raises AFTER the object is
       visible (task died between upload completion and task success).
 
-    Counters are per worker process (tests run local-mode, so the
-    injected crash hits whichever task performs the n-th publish).
+    Counters are PER TASK: the fs object is serialized into the task
+    closure and deserialized fresh for each task, so ``fail_*_publish=n``
+    fires in every task that reaches n publishes.  Size chunk_rows so the
+    targeted task makes enough publishes (tests use chunk_rows=64 →
+    ≥8 publishes per bucket task).
     """
 
     def __init__(self, fail_before_publish: int | None = None,

@@ -34,9 +34,13 @@ def _assert_same(df_a, df_b):
 
 
 def _crashing_encode(spark, pages, out, fs):
+    # chunk_rows=64 -> every bucket task makes >= 8 publishes (7+ chunks
+    # + manifest), so any fail_at in 1..8 fires deterministically in
+    # every task regardless of bucket->partition hashing.  (The fs object
+    # deserializes fresh per task, so its counter is per-task.)
     with pytest.raises(Exception):
         encode_table(pages, out, url_col="url", n_buckets=4,
-                     chunk_rows=256, table_id="t", fs=fs)
+                     chunk_rows=64, table_id="t", fs=fs)
 
 
 @pytest.mark.parametrize("fail_at", [1, 3, 8])
