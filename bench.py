@@ -130,8 +130,15 @@ def main():
             shutil.rmtree(out, ignore_errors=True)
         out = tempfile.mkdtemp(prefix="dumpster_bench_enc_")
         t0 = time.perf_counter()
+        # DUMPSTER_BENCH_NUM_PARTITIONS pins the reduce-task count; the
+        # scaling harness sets it to N_BUCKETS at EVERY level so the two
+        # cluster sizes run the IDENTICAL job DAG (work units constant,
+        # only cores vary — the two-cluster-size comparison's invariant).
+        # Headline runs keep the adaptive default (2x parallelism).
+        np_env = os.environ.get("DUMPSTER_BENCH_NUM_PARTITIONS")
         man = encode_table(pages, out, url_col="url", n_buckets=N_BUCKETS,
-                           salt_k=4, chunk_rows=65536, table_id="bench_pages")
+                           salt_k=4, chunk_rows=65536, table_id="bench_pages",
+                           num_partitions=int(np_env) if np_env else None)
         enc_trials.append(time.perf_counter() - t0)
         s = encode_summary(man)
 

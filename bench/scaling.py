@@ -29,7 +29,10 @@ def run_bench(sf_dir: str, cpus: int, rows: int | None = None,
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir,
                SPARK_GRAFT_CPUS=str(cpus),
                DUMPSTER_BENCH_SKIP_QUERIES="1",
-               DUMPSTER_BENCH_WORKDIR="/dev/shm/dumpster_bench")
+               DUMPSTER_BENCH_WORKDIR="/dev/shm/dumpster_bench",
+               # identical job DAG at every level: reduce-task count pinned
+               # to the bucket count so only the core count varies
+               DUMPSTER_BENCH_NUM_PARTITIONS="128")
     if minimal:
         # N-level legs: headline encode+decode only — the reference write /
         # local mode / pruned decode at 1 core would multiply the wall

@@ -280,7 +280,8 @@ def encode_table(df: DataFrame, out_dir: str, *, url_col: str | None = None,
                  mode: str = "salted",
                  bucket_col: str | None = None,
                  bucket_subdirs: dict | None = None,
-                 fs=None) -> DataFrame:
+                 fs=None,
+                 num_partitions: int | None = None) -> DataFrame:
     """Encode ``df`` into chunk files + manifest under ``out_dir``.
 
     Bucketing: pass ``url_col`` for web-page tables (salted host buckets,
@@ -368,7 +369,8 @@ def encode_table(df: DataFrame, out_dir: str, *, url_col: str | None = None,
     elif url_col is not None:
         prepped = prep_for_encode(df, url_col, n_buckets, salt_k, order_cols,
                                   locality_sort=locality_sort,
-                                  host_major=host_major)
+                                  host_major=host_major,
+                                  num_partitions=num_partitions)
     else:
         if bucket_expr is None:
             bucket_expr = F.pmod(F.xxhash64(*df.columns), F.lit(n_buckets)) \
