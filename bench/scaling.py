@@ -91,7 +91,9 @@ def main():
 Input: {r32['rows']:,} rows ({r32['logical_bytes']/1e9:.2f} GB logical),
 seed 42, identical bytes at both parallelism levels (row-index-keyed
 generator).  Each level is a fresh process/JVM (`bench.py`), n_buckets
-fixed at 128 so the work units are identical; best of {trials}
+fixed at 128 AND the reduce-task count pinned to 128 at every level
+(DUMPSTER_BENCH_NUM_PARTITIONS — the identical job DAG runs at both
+cluster sizes; only the core count varies); best of {trials}
 invocation(s) per level, each invocation itself best-of-3 encode trials
 (bench.py) to reject shared-host noise windows.
 
