@@ -16,7 +16,7 @@ from __future__ import annotations
 import numpy as np
 
 from .base import (for_pack_u64, for_unpack_u64, offsets_from_lengths,
-                   pack_lengths, unpack_lengths, varbytes_to_objects)
+                   pack_lengths, unpack_lengths)
 
 
 def _run_bounds(n: int, change_mask: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -48,19 +48,53 @@ def decode_rle_fixed(payload: bytes, meta: dict, n: int) -> np.ndarray:
     return np.repeat(run_vals, run_lens)
 
 
+def _change_mask_var(data, offsets: np.ndarray) -> np.ndarray:
+    """Boolean mask[i-1] = row i differs from row i-1, without per-row
+    Python objects: unequal lengths differ trivially; equal-length
+    adjacent pairs are byte-compared via one vectorized gather + a
+    segment-ANY reduceat over the mismatch bits."""
+    offs = offsets.astype(np.int64, copy=False)
+    lens = np.diff(offs)
+    n = len(lens)
+    if n <= 1:
+        return np.zeros(0, dtype=bool)
+    changed = lens[1:] != lens[:-1]
+    cand = np.flatnonzero(~changed) + 1          # rows w/ same len as prev
+    cand = cand[lens[cand] > 0]                  # empty==empty: unchanged
+    if len(cand):
+        L = lens[cand]
+        total = int(L.sum())
+        src = np.frombuffer(data, dtype=np.uint8)
+        ramp = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(L) - L, L)
+        idx_cur = np.repeat(offs[cand], L) + ramp
+        idx_prev = np.repeat(offs[cand - 1], L) + ramp
+        neq = src[idx_cur] != src[idx_prev]
+        bounds = np.concatenate(([0], np.cumsum(L)[:-1]))
+        changed[cand - 1] = np.add.reduceat(neq, bounds) > 0
+    return changed
+
+
 def encode_rle_var(data: bytes, offsets: np.ndarray) -> tuple[bytes, dict]:
-    objs = varbytes_to_objects(data, offsets)
-    n = len(objs)
+    n = len(offsets) - 1
     if n == 0:
         return b"", {"runs": 0, "rb": 0, "rw": 0, "rpn": 0,
                      "lpn": 0, "ln": 0, "lb": 0, "lw": 0}
-    starts, run_lens = _run_bounds(n, objs[1:] != objs[:-1])
+    offs = offsets.astype(np.int64, copy=False)
+    starts, run_lens = _run_bounds(n, _change_mask_var(data, offs))
     rp, rb, rw = for_pack_u64(run_lens.astype(np.uint64))
-    run_vals = objs[starts]
-    val_lens = np.fromiter((len(o) for o in run_vals), dtype=np.int64,
-                           count=len(run_vals))
+    val_lens = offs[starts + 1] - offs[starts]
     lp, lmeta = pack_lengths(val_lens)
-    payload = rp + lp + b"".join(run_vals)
+    # gather the first row of each run from the source buffer, vectorized
+    total = int(val_lens.sum())
+    if total:
+        src = np.frombuffer(data, dtype=np.uint8)
+        ramp = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(val_lens) - val_lens, val_lens)
+        vals_data = src[np.repeat(offs[starts], val_lens) + ramp].tobytes()
+    else:
+        vals_data = b""
+    payload = rp + lp + vals_data
     return payload, {"runs": int(len(starts)), "rb": rb, "rw": rw,
                      "rpn": len(rp), "lpn": len(lp), **lmeta}
 
