@@ -88,6 +88,13 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
     subset), not on the whole crawl — at that size the exploded shingle
     table persists comfortably; for whole-corpus dedup use
     minhash_lsh_pairs.
+
+    Cache contract (shared by all dedup ops): ONE intermediate stays
+    persisted at a time — starting another dedup op before materializing
+    this function's result unpersists the shingle table and forces a full
+    re-shingle when the result is finally consumed (correct, just slow).
+    Materialize (write/collect/count) before the next dedup call, or time
+    release_dedup_cache() explicitly.
     """
     sh = _persist_tracked(shingles(df, n=n))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
@@ -150,6 +157,9 @@ def minhash_lsh_pairs(df: DataFrame, n_bands: int = 8, min_bands: int = 2,
     (measured 8.2 s → 1.8 s at sf0.1 with persist).  Size it mentally as
     docs × n_bands × ~24 B (spills to executor disk at crawl scale, still
     far cheaper than re-shingling the corpus twice).
+
+    Cache contract: one live dedup intermediate at a time — see
+    ngram_jaccard_pairs docstring / release_dedup_cache.
     """
     sig = _persist_tracked(minhash_signatures(df, n_bands, n))
     bucket_sizes = sig.groupBy("band", "sig").agg(F.count("*").alias("bs"))
@@ -184,21 +194,30 @@ def dedup_keep_first(df: DataFrame, text_col: str = "text",
             .filter(F.col("__rn") == 1).drop("__rn"))
 
 
-def near_dup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+def near_dup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     """Connected components over near-dup pair edges — the clustering step
     of a fuzzy-dedup pipeline (pairs from minhash_lsh_pairs /
     embedding_near_dups_lsh; keep component == doc_id as the canonical
     survivor, drop the rest).
 
-    Algorithm: iterative min-label propagation.  Every node starts
-    labelled with itself; each round pulls the minimum label across its
-    neighbors; converges in O(component diameter) rounds — near-dup
-    clusters are dense and shallow, so a handful of rounds in practice.
-    Spark shape per round: ONE shuffle (join on the edge endpoint) plus a
-    tiny aggregate for the convergence check; labels persist between
-    rounds and lineage is cut with localCheckpoint so the plan stays
-    constant-size (the classic iterative-algorithm trap).  At 10^12 docs
-    the label table is (doc_id, label) longs — small next to the corpus.
+    Algorithm: min-label propagation with POINTER JUMPING.  Every node
+    starts labelled with itself; each round (a) pulls the minimum label
+    across graph neighbors, then (b) shortcuts through the label table
+    itself (label ← label(label)), so label chains halve every round and
+    convergence is O(log diameter) — a 1M-hop chain converges in ~20
+    rounds, not 1M (ADVICE r2: plain one-hop pulls silently returned
+    WRONG labels on chains deeper than max_iter).  If the fixed-point is
+    still not reached after ``max_iter`` rounds the function RAISES
+    rather than returning incorrect clusters.
+
+    Spark shape per round: one shuffle for the neighbor pull, one for the
+    pointer jump, a tiny existence check for convergence; labels persist
+    between rounds and lineage is cut with localCheckpoint so the plan
+    stays constant-size (the classic iterative-algorithm trap).  At 10^12
+    docs the label table is (doc_id, label) longs — small next to the
+    corpus.  Note: uses the shared one-slot dedup cache — starting
+    another dedup op before materializing this result forces a recompute
+    (see release_dedup_cache).
 
     Returns (id, component) where component = min doc_id reachable.
     """
@@ -210,20 +229,35 @@ def near_dup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     labels = (sym.select(F.col("src").alias("id")).distinct()
               .withColumn("label", F.col("id")))
     labels = labels.localCheckpoint(eager=True)
+    converged = False
     for _ in range(max_iter):
-        nbr_min = (sym.join(labels.withColumnRenamed("id", "dst")
+        prev = labels
+        nbr_min = (sym.join(prev.withColumnRenamed("id", "dst")
                             .withColumnRenamed("label", "nl"), "dst")
                    .groupBy("src").agg(F.min("nl").alias("nbr_label")))
-        merged = (labels.join(nbr_min.withColumnRenamed("src", "id"),
-                              "id", "left")
+        pulled = (prev.join(nbr_min.withColumnRenamed("src", "id"),
+                            "id", "left")
                   .select("id", F.least(
                       F.col("label"),
                       F.coalesce(F.col("nbr_label"), F.col("label")))
-                      .alias("new_label"), "label"))
-        changed = merged.filter(F.col("new_label") != F.col("label")) \
-            .limit(1).count()
-        labels = merged.select("id", F.col("new_label").alias("label")) \
-            .localCheckpoint(eager=True)
+                      .alias("label")))
+        # pointer jump: label ← pulled-label of the label node.  Labels
+        # are always node ids present in the table, and min-reachability
+        # is transitive, so the shortcut stays within the component.
+        hop = pulled.select(F.col("id").alias("label"),
+                            F.col("label").alias("gl"))
+        labels = (pulled.join(hop, "label", "left")
+                  .select("id", F.coalesce(F.col("gl"), F.col("label"))
+                          .alias("label"))
+                  .localCheckpoint(eager=True))
+        changed = (labels.join(prev.withColumnRenamed("label", "old"), "id")
+                   .filter(F.col("label") != F.col("old")).limit(1).count())
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"near_dup_components did not converge in {max_iter} rounds "
+            f"(component deeper than 2^{max_iter} hops?) — returning "
+            f"partial labels would be silently wrong; raise max_iter")
     return labels.select(F.col("id"), F.col("label").alias("component"))

@@ -1,0 +1,110 @@
+"""Round-3 ADVICE/verdict fixes.
+
+* near_dup_components: pointer-jumping converges deep chains in O(log n)
+  rounds, and an unreachable fixed-point RAISES instead of silently
+  returning wrong labels (ADVICE r2, medium).
+* lsh_signatures / lsh_bucket_candidates: empty input returns an empty
+  typed frame instead of a TypeError (ADVICE r2, low).
+* centroids_first_k: out-of-range n_cells fails loudly (VERDICT r2 #4).
+* train_centroids_minibatch: opt-in refinement improves ivf_topk recall
+  on data where the first-K quantizer is degenerate.
+"""
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from dumpster import dedup, simsearch
+
+
+def _chain_pairs(spark, n):
+    """A single path graph 0-1-2-...-n (diameter n)."""
+    return spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long")
+
+
+def test_components_deep_chain_converges(spark):
+    # diameter 120 >> the old one-hop cap of 20; pointer jumping needs
+    # ~log2(120) ≈ 7 pull+jump rounds
+    n = 120
+    out = dedup.near_dup_components(_chain_pairs(spark, n), max_iter=12)
+    rows = out.collect()
+    assert len(rows) == n + 1
+    assert all(r["component"] == 0 for r in rows)
+
+
+def test_components_raises_when_capped(spark):
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.near_dup_components(_chain_pairs(spark, 200), max_iter=2)
+
+
+def test_components_multi_cluster_still_exact(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long")
+    out = {r["id"]: r["component"]
+           for r in dedup.near_dup_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
+
+
+def test_lsh_signatures_empty_input(spark):
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>")
+    sig = simsearch.lsh_signatures(empty)
+    assert sig.count() == 0
+    assert [f.name for f in sig.schema.fields] == ["vec_id", "sig"]
+    buckets = simsearch.lsh_bucket_candidates(empty)
+    assert buckets.count() == 0
+    # embedding_near_dups_lsh inherits the guard
+    pairs = simsearch.embedding_near_dups_lsh(empty)
+    assert pairs.count() == 0
+
+
+def test_ivf_n_cells_cap(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="out of range"):
+        simsearch.centroids_first_k(emb, simsearch.MAX_IVF_CELLS + 1)
+    with pytest.raises(ValueError, match="out of range"):
+        simsearch.centroids_first_k(emb, 0)
+
+
+@pytest.fixture(scope="module")
+def clustered_emb(spark):
+    """4 tight clusters in 8-d; the 4 lowest ids all live in cluster 0,
+    so the first-K quantizer is degenerate (all centroids in one
+    cluster) and partial-probe recall suffers until training moves
+    them."""
+    rng = np.random.default_rng(3)
+    centers = np.eye(4, 8) * 10.0
+    rows = []
+    vid = 0
+    for c in range(4):
+        for _ in range(40):
+            v = centers[c] + rng.normal(0, 0.05, 8)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    # ids 0..39 are all cluster 0 → first-4 centroids degenerate
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_minibatch_training_improves_recall(clustered_emb):
+    queries = [5, 45, 85, 125]
+    brute = {(r["query_id"], r["neighbor_id"])
+             for r in simsearch.brute_topk(clustered_emb, queries, k=5)
+             .collect()}
+
+    def recall(cent):
+        got = {(r["query_id"], r["neighbor_id"])
+               for r in simsearch.ivf_topk(
+                   clustered_emb, queries, k=5, n_cells=4, n_probe=1,
+                   centroids=cent).collect()}
+        return len(got & brute) / len(brute)
+
+    first_k = simsearch.centroids_first_k(clustered_emb, 4)
+    trained = simsearch.train_centroids_minibatch(
+        clustered_emb, n_cells=4, n_iter=4, sample_frac=0.8)
+    r0, r1 = recall(first_k), recall(trained)
+    assert r1 > r0, (r0, r1)
+    assert r1 >= 0.95
