@@ -40,7 +40,7 @@ import pyarrow.parquet as pq
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 FLAT_SEP = "@"           # struct leaves become "outer@inner" chunk columns
 _PRESENT = "@__present"  # distinguishes NULL struct from struct of NULLs
@@ -546,7 +546,11 @@ def _evolve_schema(old: StructType, new: StructType) -> StructType:
                 f"{prev.dataType.simpleString()} to "
                 f"{f.dataType.simpleString()}; only adding columns is "
                 f"supported (encode to a new out_dir for type changes)")
-    added = [f for f in new.fields if f.name not in by_name]
+    # appended columns are ALWAYS nullable in the evolved schema: chunks
+    # written before the evolution null-fill them on decode, so a
+    # non-nullable incoming field (e.g. a computed column) must widen
+    added = [StructField(f.name, f.dataType, nullable=True)
+             for f in new.fields if f.name not in by_name]
     return StructType(list(old.fields) + added)
 
 
@@ -925,17 +929,35 @@ def decode_tables(spark: SparkSession, dirs: list[str], *,
 
 
 def register_decoded_view(spark: SparkSession, out_dir: str, name: str,
-                          columns: list[str] | None = None) -> DataFrame:
+                          columns: list[str] | None = None,
+                          pushdown: bool = False) -> DataFrame:
     """K4 parity: expose an encoded table to SQL.
 
     The reference registers each uploaded file in the Hive Metastore
     (HiveUtil.java:16-35, external Parquet table + ADD PARTITION); here the
     manifest + _schema.json are the catalog and the decoded DataFrame is
     published as a (temp) view — ``spark.sql(f"SELECT ... FROM {name}")``
-    works immediately.  A production deployment would instead register an
-    Iceberg/DSv2 table backed by the same manifest.
+    works immediately.
+
+    ``pushdown=True`` registers the view through the ``dumpster`` Python
+    DataSource instead of a pre-built decode plan: Catalyst pushes WHERE
+    predicates into the reader, which prunes chunk files against the
+    manifest zone maps at planning time — a plain
+    ``WHERE warc_ts BETWEEN ...`` skips non-overlapping chunks without
+    the caller ever passing ``zone_filter`` (the transparency the
+    reference's users get from Hive partition pruning,
+    HiveClient.java:88-94).  Results are exact either way: the reader
+    returns every filter for Spark to re-apply row-level.
     """
-    df = decode_table(spark, out_dir, columns)
+    if pushdown:
+        from .datasource import register_dumpster_source
+        register_dumpster_source(spark)
+        r = spark.read.format("dumpster").option("path", out_dir)
+        if columns:
+            r = r.option("columns", ",".join(columns))
+        df = r.load()
+    else:
+        df = decode_table(spark, out_dir, columns)
     df.createOrReplaceTempView(name)
     return df
 

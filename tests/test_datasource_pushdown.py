@@ -1,0 +1,132 @@
+"""Automatic predicate pushdown via the dumpster Python DataSource.
+
+Semantics under test (VERDICT r2 missing #4):
+* a plain SQL WHERE on a pushdown-registered view returns EXACTLY what
+  decoding everything and filtering would (chunk pruning is conservative;
+  Spark re-applies the row predicate),
+* planning-time pruning actually engages: with a range predicate the
+  reader plans strictly fewer chunk-file partitions than unfiltered, and
+  the planned files match prune_manifest_files (the zone_filter baseline),
+* schema evolution (older chunks missing a column) and projection
+  registration both survive the DataSource path.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, In, \
+    LessThanOrEqual
+from dumpster.datasource import DumpsterReader
+from dumpster.engine import encode_table, register_decoded_view
+
+
+@pytest.fixture(scope="module")
+def encoded_docs(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("enc_push"))
+    df = (spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+          .orderBy("doc_id"))
+    # order by doc_id + small chunks → tight, disjoint doc_id zones
+    # (sf0.01 documents is 500 rows → 4 buckets × ~4 chunks of ≤32 rows)
+    encode_table(df, out, bucket_expr=(F.col("doc_id") % 4).cast("int"),
+                 n_buckets=4, chunk_rows=32, order_cols=("doc_id",),
+                 table_id="push_docs")
+    return out
+
+
+def _flat_files(parts):
+    return sorted(f for p in parts for f in p.files)
+
+
+def test_where_equals_full_decode(spark, encoded_docs):
+    register_decoded_view(spark, encoded_docs, "docs_push", pushdown=True)
+    got = spark.sql(
+        "SELECT doc_id, lang, n_chars FROM docs_push "
+        "WHERE doc_id BETWEEN 100 AND 220 ORDER BY doc_id").collect()
+    want = (spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+            .filter(F.col("doc_id").between(100, 220))
+            .select("doc_id", "lang", "n_chars").orderBy("doc_id").collect())
+    assert got == want
+
+
+def test_planning_prunes_partitions(encoded_docs):
+    from pyspark.sql.types import StructType
+    from dumpster.engine import table_schema
+
+    schema = table_schema(encoded_docs)
+    rd_all = DumpsterReader({"path": encoded_docs}, schema)
+    all_files = _flat_files(rd_all.partitions())
+    assert len(all_files) > 8  # enough chunks for pruning to matter
+
+    rd = DumpsterReader({"path": encoded_docs}, schema)
+    kept = list(rd.pushFilters([GreaterThanOrEqual(("doc_id",), 100),
+                                LessThanOrEqual(("doc_id",), 220)]))
+    assert len(kept) == 2  # every filter returned → Spark re-applies
+    pruned_files = _flat_files(rd.partitions())
+    assert 0 < len(pruned_files) < len(all_files)
+
+    # parity with the explicit zone_filter machinery on the same manifest
+    import pyarrow.dataset as ds
+    import os
+    from dumpster.engine import prune_manifest_files
+    mdir = os.path.join(encoded_docs, "manifest")
+    tbl = ds.dataset([os.path.join(mdir, f) for f in sorted(os.listdir(mdir))
+                      if f.endswith(".parquet")]).to_table(
+        columns=["file", "col_stats"])
+    rows = [{"file": f, "col_stats": cs}
+            for f, cs in zip(tbl.column(0).to_pylist(),
+                             tbl.column(1).to_pylist())]
+    want = sorted(prune_manifest_files(rows, [("doc_id", 100, 220)]))
+    assert pruned_files == want
+
+
+def test_equality_and_in_filters_prune(encoded_docs):
+    from dumpster.engine import table_schema
+    schema = table_schema(encoded_docs)
+    rd = DumpsterReader({"path": encoded_docs}, schema)
+    list(rd.pushFilters([EqualTo(("doc_id",), 42)]))
+    eq_files = _flat_files(rd.partitions())
+    rd2 = DumpsterReader({"path": encoded_docs}, schema)
+    list(rd2.pushFilters([In(("doc_id",), (42, 43, 44))]))
+    in_files = _flat_files(rd2.partitions())
+    rd3 = DumpsterReader({"path": encoded_docs}, schema)
+    all_files = _flat_files(rd3.partitions())
+    assert len(eq_files) < len(all_files)
+    assert set(eq_files) <= set(in_files)
+
+
+def test_string_filter_never_prunes_but_stays_exact(spark, encoded_docs):
+    register_decoded_view(spark, encoded_docs, "docs_push2", pushdown=True)
+    got = spark.sql("SELECT count(*) AS n FROM docs_push2 "
+                    "WHERE lang = 'en'").collect()[0]["n"]
+    want = (spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+            .filter("lang = 'en'").count())
+    assert got == want
+
+
+def test_projection_registration(spark, encoded_docs):
+    register_decoded_view(spark, encoded_docs, "docs_narrow",
+                          columns=["doc_id", "lang"], pushdown=True)
+    df = spark.sql("SELECT * FROM docs_narrow WHERE doc_id < 50")
+    assert df.columns == ["doc_id", "lang"]
+    assert df.count() == 50
+
+
+def test_pushdown_with_schema_evolution(spark, tmp_path):
+    out = str(tmp_path / "evo")
+    base = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"), F.lit("aa").alias("lang"))
+    encode_table(base, out, bucket_expr=(F.col("doc_id") % 4).cast("int"),
+                 n_buckets=4, chunk_rows=128, order_cols=("doc_id",),
+                 table_id="evo1")
+    wide = spark.range(500, 1000).select(
+        F.col("id").alias("doc_id"), F.lit("bb").alias("lang"),
+        (F.col("id") * 2).alias("extra"))
+    # disjoint bucket ids: chunk names are keyed (bucket, seq)
+    encode_table(wide, out, bucket_expr=(F.col("doc_id") % 4 + 4).cast("int"),
+                 n_buckets=8, chunk_rows=128, order_cols=("doc_id",),
+                 table_id="evo2", resume=False)
+    register_decoded_view(spark, out, "evo_push", pushdown=True)
+    rows = spark.sql("SELECT doc_id, lang, extra FROM evo_push "
+                     "WHERE doc_id IN (10, 600) ORDER BY doc_id").collect()
+    assert [(r["doc_id"], r["lang"], r["extra"]) for r in rows] == \
+        [(10, "aa", None), (600, "bb", 1200)]
