@@ -329,6 +329,33 @@ def q_schema_evolution_store(spark, sf):
         .cast("long").alias("score_sum"))
 
 
+def q_multischema_routing(spark, sf):
+    """G2 STRICT parity (HourlyBasedRecordConsumer.java:20, :60-67): ONE
+    call routes a batch carrying two schema generations into one store —
+    gen-1 chunks physically lack the new column, decode null-fills, and
+    the union aggregate is SQL-expressible so this is oracle-checked."""
+    from dumpster.engine import encode_table_multischema
+    docs = _t(spark, sf, "documents")
+    gen1 = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.lit(1).alias("schema_id"), "doc_id", "lang",
+        F.lit(None).cast("long").alias("chars"))
+    gen2 = docs.filter(F.col("doc_id") % 2 == 1).select(
+        F.lit(2).alias("schema_id"), "doc_id", "lang",
+        F.length("text").cast("long").alias("chars"))
+    out = tempfile.mkdtemp(prefix="dumpster_q_ms_")
+    encode_table_multischema(
+        gen1.unionByName(gen2), out,
+        schemas={1: ["doc_id", "lang"], 2: ["doc_id", "lang", "chars"]},
+        n_buckets=4, chunk_rows=4096, table_id="documents_ms")
+    dec = decode_table(spark, out)
+    return dec.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("chars").isNull(), 1).otherwise(0))
+        .cast("long").alias("gen1_rows"),
+        F.sum(F.coalesce(F.col("chars"), F.lit(0)))
+        .cast("long").alias("chars_sum"))
+
+
 # ---------------------------------------------------------------------------
 # engine-level (rows-only: filesystem side effects / codec internals)
 # ---------------------------------------------------------------------------
@@ -653,6 +680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compact_stream_roundtrip": q_compact_stream_roundtrip,
         "catalog_restore": q_catalog_restore,
         "schema_evolution_store": q_schema_evolution_store,
+        "multischema_routing": q_multischema_routing,
         "verify_chunks_clean": q_verify_chunks_clean,
     }
 
@@ -942,6 +970,14 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(CASE WHEN doc_id % 2 = 1 THEN doc_id * 2 ELSE 0 END)
                    AS BIGINT) AS score_sum
         FROM documents
+    """
+    d["multischema_routing"] = """
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS gen1_rows,
+               CAST(sum(CASE WHEN doc_id % 2 = 1 THEN length(text) ELSE 0 END)
+                   AS BIGINT) AS chars_sum
+        FROM documents GROUP BY lang
     """
     d["doc_fingerprints"] = """
         SELECT doc_id,

@@ -376,6 +376,75 @@ def encode_table(df: DataFrame, out_dir: str, *, url_col: str | None = None,
     return read_manifest(spark, out_dir)
 
 
+def encode_table_multischema(df: DataFrame, out_dir: str, *,
+                             schema_col: str = "schema_id",
+                             schemas: dict | None = None,
+                             url_col: str | None = None,
+                             n_buckets: int = 32, salt_k: int = 4,
+                             chunk_rows: int = DEFAULT_CHUNK_ROWS,
+                             table_id: str | None = None,
+                             resume: bool = True,
+                             allow_zlib: bool = True) -> DataFrame:
+    """G2 STRICT parity: route a single batch carrying several schema
+    generations into one store, in one call.
+
+    The reference keeps a ``HashMap<Schema, RecordWriter>`` and opens a
+    writer per distinct Avro schema it meets within an hour bucket
+    (HourlyBasedRecordConsumer.java:20, :60-67).  The Spark analog: the
+    input is one DataFrame whose rows tag their generation in
+    ``schema_col`` (for Kafka ingest this is the Confluent
+    schema-registry id already carried by the wire format —
+    decode_confluent_stream strips bytes 1-5); ``schemas`` maps each id
+    to ITS OWN column list.  Each generation is filtered out, projected
+    to exactly its columns (absent ≠ null: an old generation's chunks
+    simply DON'T CONTAIN the new columns, same as the reference's
+    per-schema files), and encoded through the normal evolution path —
+    the stored union schema widens add-only and decode null-fills older
+    generations.
+
+    Layout: generation g (by sorted schema id) owns the disjoint bucket
+    namespace [g·n_buckets, (g+1)·n_buckets) — chunk/manifest names are
+    keyed by bucket, so generations never collide and resume works per
+    generation.  Rows with an id not in ``schemas`` raise (mirror of the
+    decode-error-capture contract: silent drops are the one failure mode
+    never allowed).
+
+    Plan shape: one filtered scan per generation (the per-generation
+    chunk schema genuinely differs, so one encode job each); persist the
+    input first when the source scan is expensive.
+    """
+    if schemas is None or not schemas:
+        raise ValueError("schemas={schema_id: [columns...]} is required")
+    if schema_col not in df.columns:
+        raise ValueError(f"schema column {schema_col!r} not in input "
+                         f"{df.columns}")
+    known = sorted(schemas)
+    stray = (df.select(schema_col)
+             .filter(~F.col(schema_col).isin(list(known)))
+             .limit(1).count())
+    if stray:
+        raise ValueError(
+            f"input contains schema ids outside {known}; register the new "
+            f"generation in `schemas` (records must never be dropped "
+            f"silently)")
+    from .pipeline import salted_bucket
+    tid = table_id or os.path.basename(os.path.normpath(out_dir))
+    for g, sid in enumerate(known):
+        cols = list(schemas[sid])
+        sub = df.filter(F.col(schema_col) == sid).select(*cols)
+        if url_col is not None and url_col in cols:
+            bexpr = salted_bucket(F.col(url_col), n_buckets, salt_k)
+        else:
+            bexpr = F.pmod(F.xxhash64(*cols), F.lit(n_buckets))
+        bexpr = (bexpr + F.lit(g * n_buckets)).cast("int")
+        encode_table(sub, out_dir, bucket_expr=bexpr, n_buckets=n_buckets,
+                     chunk_rows=chunk_rows, table_id=f"{tid}_s{sid}",
+                     resume=resume, allow_zlib=allow_zlib)
+    # encode_table returns the whole store's manifest; one read at the
+    # end covers every generation
+    return read_manifest(df.sparkSession, out_dir)
+
+
 def encode_table_partitioned(df: DataFrame, out_dir: str, *,
                              ts_col: str = "warc_ts",
                              chunk_rows: int = DEFAULT_CHUNK_ROWS,
@@ -890,18 +959,23 @@ def decode_tables(spark: SparkSession, dirs: list[str], *,
         arrow_types = {}
 
     def _pad_missing(batch: pa.RecordBatch) -> pa.RecordBatch:
-        if batch.schema.names == names:
-            return batch
-        have = set(batch.schema.names)
-        cols, outn = [], []
-        for nm in names:
-            if nm in have:
-                cols.append(batch.column(nm))
-            else:
-                cols.append(pa.nulls(batch.num_rows,
-                                     type=arrow_types[nm]))
-            outn.append(nm)
-        return pa.RecordBatch.from_arrays(cols, names=outn)
+        if batch.schema.names != names:
+            have = set(batch.schema.names)
+            cols = [batch.column(nm) if nm in have
+                    else pa.nulls(batch.num_rows, type=arrow_types[nm])
+                    for nm in names]
+            batch = pa.RecordBatch.from_arrays(cols, names=list(names))
+        # the Arrow IPC stream back to the JVM pins ONE schema from the
+        # first batch — but chunk files keep per-generation nullability
+        # (a column not-null in one generation is padded-null in an
+        # older one), so normalize every batch to all-nullable fields
+        if not all(f.nullable for f in batch.schema):
+            sch = pa.schema([pa.field(f.name, f.type)
+                             for f in batch.schema])
+            batch = pa.RecordBatch.from_arrays(
+                [batch.column(i) for i in range(batch.num_columns)],
+                schema=sch)
+        return batch
 
     def reader(batches):
         try:  # same per-worker pool pinning as the encoder (see _make_encoder)

@@ -176,6 +176,37 @@ def kafka_avro_source(spark: SparkSession, bootstrap_servers: str,
         raw, avro_schema_json, confluent_wire_format=confluent_wire_format)
 
 
+def encode_stream_multischema(stream_df: DataFrame, out_dir: str, *,
+                              checkpoint: str, schema_col: str = "schema_id",
+                              schemas: dict | None = None,
+                              url_col: str | None = None,
+                              n_buckets: int = 32,
+                              chunk_rows: int = 65536,
+                              trigger_available_now: bool = True):
+    """G2 strict in the streaming front door: a micro-batch carrying
+    SEVERAL schema generations routes inside the sink — the caller never
+    pre-splits (the reference meets mixed schemas mid-poll and opens one
+    writer per schema, HourlyBasedRecordConsumer.java:20, :60-67).
+    ``schemas`` maps the generation tag (e.g. the Confluent
+    schema-registry id from decode_confluent_stream) to that
+    generation's column list; see engine.encode_table_multischema for
+    layout and evolution semantics."""
+    def sink(batch_df: DataFrame, batch_id: int):
+        from .engine import encode_table_multischema
+        target = os.path.join(out_dir, f"batch={batch_id:06d}")
+        encode_table_multischema(batch_df, target, schema_col=schema_col,
+                                 schemas=schemas, url_col=url_col,
+                                 n_buckets=n_buckets, chunk_rows=chunk_rows,
+                                 table_id=f"stream_ms_b{batch_id}")
+
+    writer = (stream_df.writeStream
+              .foreachBatch(sink)
+              .option("checkpointLocation", checkpoint))
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def batch_dirs(out_dir: str) -> list[str]:
     return sorted(glob.glob(os.path.join(out_dir, "batch=*")))
 
