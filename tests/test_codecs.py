@@ -256,3 +256,35 @@ def test_bss_wins_on_embedding_like_floats():
     stored = len(payload) if isinstance(payload, bytes) else sum(map(len, payload))
     assert CODEC_NAMES[codec] == "bss" and zl, (CODEC_NAMES[codec], zl, info)
     assert stored < 4 * len(f32), "bss+zlib should beat 4 B/value raw"
+
+
+def test_legacy_zlib_chunks_still_decode(monkeypatch):
+    """Round-2 chunks stored the byte stage as zlib with flag True/1; the
+    zstd upgrade (flag 2) must keep decoding them bit-identically."""
+    import zlib as _z
+
+    import dumpster.codecs.selector as sel
+
+    def legacy_maybe_zlib(payload, allow):
+        total = sel._plen(payload)
+        if not allow or total < 64:
+            return payload, False
+        joined = sel._as_bytes(payload)
+        z = _z.compress(joined, 1)
+        if len(z) < sel.ZLIB_MIN_GAIN * total:
+            return z, True
+        return payload, False
+
+    import pyarrow as pa
+
+    from dumpster.chunk import decode_chunk, encode_chunk
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array([f"the quick brown fox {i % 7}" for i in range(4000)]),
+         pa.array(list(range(4000)), type=pa.int64())],
+        names=["text", "n"])
+    monkeypatch.setattr(sel, "_maybe_zlib", legacy_maybe_zlib)
+    blob, stats = encode_chunk(batch, table_id="legacy")
+    assert any(s["zlib"] in (True, 1) for s in stats), stats
+    monkeypatch.undo()  # decode runs on CURRENT code
+    out = decode_chunk(blob)
+    assert out.equals(batch)
