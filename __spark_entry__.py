@@ -256,7 +256,12 @@ def q_embedding_near_dups(spark, sf):
     # verify (no CartesianProduct in the plan; the all-pairs form survives
     # only as the pytest oracle for bounded fixtures).  Exact duplicates
     # share every band, so recall at the near-dup threshold is structural,
-    # not probabilistic, on dup-injected corpora.
+    # not probabilistic, on dup-injected corpora.  That structural claim
+    # depends on a fixture invariant — every >=0.9 pair here is a
+    # bit-identical duplicate (a non-identical ~0.9 pair would match all
+    # 4 bands only ~95% of the time) — pinned loudly by
+    # tests/test_simsearch_extra.py::
+    # test_oracle_fixture_invariant_all_near_pairs_are_exact_dups.
     return simsearch.embedding_near_dups_lsh(_augmented_emb(spark, sf),
                                              threshold=0.9, n_planes=16,
                                              bands=4, seed=42)

@@ -262,6 +262,18 @@ def main():
         result["encoded_bytes_local_mode"] = local_bytes
         result["reference_parquet_bytes"] = ref_bytes
         result["size_ratio_vs_reference"] = round(enc_bytes / ref_bytes, 4)
+        # sf1 same-window anatomy (bench/anatomy_sf1.py): scan/shuffle
+        # floors, reference write, salted and local encode interleaved in
+        # ONE session so every component shares a noise window — the
+        # scale-up evidence behind the sf0.1 headline above
+        anat = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "bench", "anatomy_sf1_latest.json")
+        if os.path.exists(anat):
+            try:
+                with open(anat) as f:
+                    result["sf1_anatomy"] = json.load(f)
+            except Exception:
+                pass
     shutil.rmtree(out, ignore_errors=True)
     spark.stop()
     print(json.dumps(result))

@@ -77,17 +77,19 @@ def main():
 
     trials: dict[str, list] = {k: [] for k in
                                ["scan_floor", "shuffle_floor", "ref_write",
-                                "salted_encode", "local_encode"]}
+                                "salted_encode", "local_encode",
+                                "codec_cpu_sum"]}
     enc_bytes = ref_bytes = None
+    # Host noise shifts within a single round (identical components vary
+    # up to 2-7× minutes apart), so the floor→salted RATIO is only
+    # meaningful when the two run back-to-back: each round measures the
+    # PAIR adjacently and the ratio is computed per pair, never across
+    # rounds.  scan/ref/local are context, measured once per round.
+    pair_ratios = []
     for rnd in range(ROUNDS):
         t0 = time.perf_counter()
         pages.mapInArrow(passthru, "n long").count()
         trials["scan_floor"].append(time.perf_counter() - t0)
-
-        t0 = time.perf_counter()
-        prep_for_encode(pages, "url", N_BUCKETS, 4) \
-            .mapInArrow(passthru, "n long").count()
-        trials["shuffle_floor"].append(time.perf_counter() - t0)
 
         ref_dir = tempfile.mkdtemp(prefix="anat_ref_")
         t0 = time.perf_counter()
@@ -103,18 +105,27 @@ def main():
                         g.glob(os.path.join(ref_dir, "p", "*.parquet")))
         shutil.rmtree(ref_dir, ignore_errors=True)
 
+        # the paired measurement: no-op post-shuffle floor, then the full
+        # salted encode, adjacent in time
+        t0 = time.perf_counter()
+        prep_for_encode(pages, "url", N_BUCKETS, 4) \
+            .mapInArrow(passthru, "n long").count()
+        floor = time.perf_counter() - t0
+        trials["shuffle_floor"].append(floor)
+
         out = tempfile.mkdtemp(prefix="anat_enc_")
         t0 = time.perf_counter()
         man = encode_table(pages, out, url_col="url", n_buckets=N_BUCKETS,
                            salt_k=4, chunk_rows=65536, table_id="anat_pages")
-        trials["salted_encode"].append(time.perf_counter() - t0)
+        salted = time.perf_counter() - t0
+        trials["salted_encode"].append(salted)
+        pair_ratios.append(salted / floor)
         summ = encode_summary(man)
         enc_bytes = int(summ["encoded_bytes"])
         # task-side codec CPU, summed across chunks, from the manifest's
         # per-chunk lineage (encode_ms) — the direct attribution of how
         # much of the wall is codec work vs boundary/shuffle/write
-        codec_cpu_s = float(summ["encode_cpu_ms"]) / 1000.0
-        trials.setdefault("codec_cpu_sum", []).append(codec_cpu_s)
+        trials["codec_cpu_sum"].append(float(summ["encode_cpu_ms"]) / 1e3)
         shutil.rmtree(out, ignore_errors=True)
 
         out_l = tempfile.mkdtemp(prefix="anat_encl_")
@@ -123,31 +134,23 @@ def main():
                      chunk_rows=65536, table_id="anat_pages_l")
         trials["local_encode"].append(time.perf_counter() - t0)
         shutil.rmtree(out_l, ignore_errors=True)
-        print(json.dumps({"round": rnd,
+        print(json.dumps({"round": rnd, "pair_ratio": round(pair_ratios[-1], 3),
                           **{k: round(v[-1], 2) for k, v in trials.items()}}),
               file=sys.stderr, flush=True)
 
     best = {k: min(v) for k, v in trials.items()}
-    # per-round attribution (same noise window): use the round whose
-    # salted_encode is best
-    bi = trials["salted_encode"].index(best["salted_encode"])
-    rnd_best = {k: trials[k][bi] for k in trials}
+    ratios = sorted(pair_ratios)
     result = {
-        "metric": "sf1 encode anatomy (same-window interleaved)",
+        "metric": "sf1 encode anatomy (adjacent-pair interleaved)",
         "rows": ROWS, "rounds": ROUNDS, "cpus": CPUS,
         "logical_bytes": int(logical_bytes),
         "trials": {k: [round(x, 2) for x in v] for k, v in trials.items()},
         "best": {k: round(v, 2) for k, v in best.items()},
-        "best_salted_round": {k: round(v, 2) for k, v in rnd_best.items()},
-        "attribution_best_round": {
-            "python_scan_boundary": round(rnd_best["scan_floor"], 2),
-            "shuffle": round(rnd_best["shuffle_floor"]
-                             - rnd_best["scan_floor"], 2),
-            "codec_plus_write": round(rnd_best["salted_encode"]
-                                      - rnd_best["shuffle_floor"], 2),
-        },
+        "pair_ratios_salted_over_floor": [round(r, 3) for r in pair_ratios],
         "salted_over_own_shuffle_floor": round(
-            rnd_best["salted_encode"] / rnd_best["shuffle_floor"], 3),
+            ratios[len(ratios) // 2], 3),  # median of adjacent pairs
+        "salted_over_floor_best_pair": round(ratios[0], 3),
+        "codec_cpu_ideal_wall": round(best["codec_cpu_sum"] / CPUS, 2),
         "encode_gb_per_sec": round(
             logical_bytes / best["salted_encode"] / 1e9, 4),
         "encode_local_gb_per_sec": round(

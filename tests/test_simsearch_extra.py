@@ -122,3 +122,40 @@ def test_lsh_near_dups_recall_at_loose_threshold(emb_with_dups):
     assert dup_pairs.issubset(lsh)                  # exact dups: recall 1
     recall = len(lsh) / max(len(exact), 1)
     assert recall >= 0.8, f"recall {recall:.2f} below documented floor"
+
+
+def test_oracle_fixture_invariant_all_near_pairs_are_exact_dups():
+    """ADVICE r2 item 4: the driver's `embedding_near_dups` query (LSH,
+    16 planes / 4 bands) is hash-compared against an exact all-pairs
+    DuckDB oracle.  That equivalence is STRUCTURAL only while every pair
+    with cosine >= 0.9 in the augmented fixture is a bit-identical
+    duplicate (identical vectors share every band -> recall 1); for a
+    non-identical pair at sim ~0.9 the band-match probability is ~95%,
+    so a fixture drift introducing one would break the oracle silently
+    ~5% of the time.  This test pins the invariant loudly, with NumPy
+    all-pairs over the SAME parquet + augmentation as __spark_entry__.
+
+    Applies at both driver SFs (embeddings is 500 rows at each)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    for sf in ("0.001", "0.01"):
+        t = pq.read_table(f"/root/testdata/sf{sf}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+        ids = t.column("vec_id").to_numpy()
+        mat = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+        # same augmentation as __spark_entry__._augmented_emb
+        sel = ids % 20 == 0
+        mat = np.vstack([mat, mat[sel]])
+        ids = np.concatenate([ids, ids[sel] + 1000000])
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = (mat / norms) @ (mat / norms).T
+        ia, ib = np.where(np.triu(sims >= 0.9, k=1))
+        assert len(ia) > 0, f"sf{sf}: fixture lost its planted duplicates"
+        for a, b in zip(ia, ib):
+            assert np.array_equal(mat[a], mat[b]), (
+                f"sf{sf}: pair ({ids[a]}, {ids[b]}) sim="
+                f"{sims[a, b]:.4f} >= 0.9 but NOT bit-identical — the "
+                "LSH-vs-exact oracle equivalence no longer holds "
+                "structurally; raise n_planes/bands in "
+                "q_embedding_near_dups or restore the fixture")
