@@ -104,7 +104,7 @@ def bitunpack(buf: bytes, n: int, width: int) -> np.ndarray:
     m = (n + 63) >> 6
     need = m * width * 8
     if len(buf) < need:
-        buf = buf + b"\x00" * (need - len(buf))
+        buf = bytes(buf) + b"\x00" * (need - len(buf))
     words = np.frombuffer(buf, dtype="<u8", count=m * width).reshape(m, width)
     out = np.empty((m, 64), dtype="<u8")
     mask = np.uint64((1 << width) - 1) if width < 64 else np.uint64(0xFFFFFFFFFFFFFFFF)

@@ -257,11 +257,15 @@ def decode_fixed(codec: int, zlibbed, payload, meta: dict,
                  n: int) -> np.ndarray:
     """``zlibbed`` is the stored comp flag: falsy = none, True/1 = legacy
     zlib chunks from earlier rounds, 2 = size-prefixed zstd."""
-    payload = _as_bytes(payload)
     if zlibbed == COMP_ZSTD:
         payload = _zstd_decompress(payload)
     elif zlibbed:
         payload = zlib.decompress(payload)
+    elif codec != PLAIN or isinstance(payload, list):
+        # PLAIN reads a contiguous buffer in place (np.frombuffer on bytes
+        # or memoryview, zero-copy); the other codecs' decoders assume
+        # bytes, and piece-list payloads always need joining
+        payload = _as_bytes(payload)
     out = _DEC_FIXED[codec](payload, meta, n)
     fstr = meta.get("__f")
     if fstr:  # restore the float bit pattern (see select_encode_fixed)
@@ -275,11 +279,12 @@ def decode_fixed(codec: int, zlibbed, payload, meta: dict,
 
 def decode_var(codec: int, zlibbed, payload, meta: dict,
                n: int) -> tuple[bytes, np.ndarray]:
-    payload = _as_bytes(payload)
     if zlibbed == COMP_ZSTD:
         payload = _zstd_decompress(payload)
     elif zlibbed:
         payload = zlib.decompress(payload)
+    elif codec != PLAIN or isinstance(payload, list):
+        payload = _as_bytes(payload)   # see decode_fixed
     return _DEC_VAR[codec](payload, meta, n)
 
 
