@@ -567,6 +567,38 @@ def q_pushdown_where_view(spark, sf):
     """)
 
 
+def q_str_point_lookup(spark, sf):
+    """String point lookup through the pushdown view — the single most
+    common query shape against a web-page table (``WHERE url = ...``).
+    The reference's only lookup acceleration is Hive partition pruning
+    (HiveClient.java:88-94): a url equality there scans every file.  Here
+    the pushed literal prunes chunks twice with zero user hints: at
+    planning time against truncated string zone bounds (smin/smax,
+    Parquet truncation semantics) and task-side against per-chunk bloom
+    sections (the Parquet bloom-filter analog) — then Spark re-applies
+    the row predicate, so the answer is exact at any zone granularity.
+    Bloom engagement on ≥1024-row chunks and the never-false-negative
+    contract are asserted in tests/test_bloom.py."""
+    from dumpster.engine import register_decoded_view
+
+    docs = _t(spark, sf, "documents")
+    pages = docs.select(
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".example/d/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        "doc_id", "lang", "n_chars")
+    out = tempfile.mkdtemp(prefix="dumpster_q_ptlk_")
+    encode_table(pages.orderBy("url"), out,
+                 bucket_expr=F.pmod(F.xxhash64("url"), F.lit(4)).cast("int"),
+                 n_buckets=4, chunk_rows=64, order_cols=("url",),
+                 table_id="pages_ptlk")
+    register_decoded_view(spark, out, "dumpster_pages_ptlk", pushdown=True)
+    target = pages.filter(F.col("doc_id") == 42).first()["url"]
+    return spark.sql(f"""
+        SELECT url, doc_id, lang, n_chars FROM dumpster_pages_ptlk
+        WHERE url = '{target}'
+    """)
+
+
 def q_compact_stream_roundtrip(spark, sf):
     """Small-file compaction (streaming.compact_stream): three micro-batch
     tables of KB-sized chunklets fold into one well-chunked table whose
@@ -682,6 +714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_evolution_union": q_schema_evolution_union,
         "sql_over_encoded_table": q_sql_over_encoded_table,
         "pushdown_where_view": q_pushdown_where_view,
+        "str_point_lookup": q_str_point_lookup,
         "compact_stream_roundtrip": q_compact_stream_roundtrip,
         "catalog_restore": q_catalog_restore,
         "schema_evolution_store": q_schema_evolution_store,
@@ -933,6 +966,12 @@ def oracle_sql() -> dict[str, str]:
         "pushdown_where_view": """
             SELECT doc_id, lang, n_chars FROM documents
             WHERE doc_id BETWEEN 120 AND 260
+        """,
+        "str_point_lookup": """
+            SELECT 'https://' || source || '.example/d/'
+                   || CAST(doc_id AS VARCHAR) AS url,
+                   doc_id, lang, n_chars
+            FROM documents WHERE doc_id = 42
         """,
         "compact_stream_roundtrip": """
             SELECT doc_id, text, lang, source, n_chars FROM documents

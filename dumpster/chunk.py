@@ -151,6 +151,43 @@ def _var_parts_validity(arr: pa.Array):
     return data, comp, valid
 
 
+_BOUND_LEN = 16
+
+
+def _inc_bytes(b: bytes) -> bytes | None:
+    """Smallest byte string > every string with prefix ``b`` — Parquet's
+    truncated-upper-bound increment; None if b is all 0xFF (unbounded)."""
+    ba = bytearray(b)
+    for i in reversed(range(len(ba))):
+        if ba[i] != 0xFF:
+            ba[i] += 1
+            return bytes(ba[:i + 1])
+    return None
+
+
+def _var_bounds(arr: pa.Array, n_valid: int):
+    """(smin, smax) base64 zone bounds for a string/binary column, or
+    (None, None).  smin is an INCLUSIVE lower bound (truncated prefix ≤
+    true min); smax is an EXCLUSIVE upper bound (> true max: truncated +
+    incremented, or exact max + 0x00), or None when no byte upper bound
+    exists — conservative on both sides, so pruning stays exact."""
+    import base64
+
+    import pyarrow.compute as pc
+    if not n_valid:
+        return None, None
+    mm = pc.min_max(arr)
+    vmin, vmax = mm["min"].as_py(), mm["max"].as_py()
+    if vmin is None:
+        return None, None
+    if isinstance(vmin, str):
+        vmin, vmax = vmin.encode(), vmax.encode()
+    hi = (vmax + b"\x00" if len(vmax) <= _BOUND_LEN
+          else _inc_bytes(vmax[:_BOUND_LEN]))
+    return (base64.b64encode(vmin[:_BOUND_LEN]).decode(),
+            base64.b64encode(hi).decode() if hi is not None else None)
+
+
 def _var_parts(arr: pa.Array):
     """(data, offsets) in Arrow layout; data is a zero-copy memoryview —
     only codecs that truly need a bytes object (FSST's replace chain)
@@ -214,6 +251,8 @@ def encode_chunk_pieces(batch: pa.RecordBatch, *, table_id: str = "t",
         kind = _kind_of(arr.type)
         seed = stable_seed(table_id, bucket, chunk_seq, name)
         vals = None
+        smin = smax = None
+        bloom_sec = None
         if kind == _KIND_VAR:
             # zero-copy path: offsets are compacted over valid rows, the
             # payload buffer is used in place (see _var_parts_validity)
@@ -227,6 +266,13 @@ def encode_chunk_pieces(batch: pa.RecordBatch, *, table_id: str = "t",
             else:
                 codec, zl, payload, meta, _ = select_encode_var(
                     data, offsets, seed, allow_zlib)
+                from .bloom import MAX_AVG_LEN, bloom_build, want_bloom
+                if n_valid and len(data) <= 8 * MAX_AVG_LEN * n_valid:
+                    # avg ≤ 1 KiB: skip the min/max scan on html-sized
+                    # columns — their bounds never prune anything
+                    smin, smax = _var_bounds(arr, n_valid)
+                if want_bloom(n_valid, len(data)):
+                    bloom_sec = bloom_build(data, offsets)
         elif kind == _KIND_LIST:
             dense, valid = _dense_and_validity(arr)
             n_valid = len(dense)
@@ -326,11 +372,27 @@ def encode_chunk_pieces(batch: pa.RecordBatch, *, table_id: str = "t",
         for p in pieces:
             put(p)
         index.append([name, sec_start, pos - sec_start, crc & 0xFFFFFFFF])
-        stats.append({"column": name, "codec": CODEC_NAMES[codec],
-                      "zlib": int(zl), "raw_bytes": raw_bytes,
-                      "encoded_bytes": plen + len(desc_b) + len(vbm) + 16,
-                      "n_nulls": int(arr.null_count),
-                      "vmin": vmin, "vmax": vmax})
+        st = {"column": name, "codec": CODEC_NAMES[codec],
+              "zlib": int(zl), "raw_bytes": raw_bytes,
+              "encoded_bytes": plen + len(desc_b) + len(vbm) + 16,
+              "n_nulls": int(arr.null_count),
+              "vmin": vmin, "vmax": vmax}
+        if smin is not None:
+            # string zone map: base64 of truncated byte bounds (Parquet
+            # truncation semantics — smin ≤ true min; smax ≥ true max or
+            # None when the max prefix cannot be upper-bounded)
+            st["smin"] = smin
+            st["smax"] = smax
+        if bloom_sec is not None:
+            bitmap, bdesc = bloom_sec
+            bdesc_b = json.dumps(bdesc, separators=(",", ":")).encode()
+            b_start, crc = pos, 0
+            put(struct.pack("<I", len(bdesc_b)) + bdesc_b)
+            put(bitmap)
+            index.append([f"__bloom:{name}", b_start, pos - b_start,
+                          crc & 0xFFFFFFFF])
+            st["bloom"] = 1
+        stats.append(st)
     footer = json.dumps({"h": [hdr_len, hdr_crc], "cols": index},
                         separators=(",", ":")).encode()
     out.append(footer)
@@ -410,6 +472,8 @@ def _decode_v2(read, size: int, columns) -> pa.RecordBatch:
     _, n_rows = struct.unpack_from("<IQ", hdr, 4 + schema_len)
     arrays, names = [], []
     for name, off, ln, crc in footer["cols"]:
+        if name.startswith("__bloom:"):
+            continue    # index sections, not data — see read_blooms
         if columns is not None and name not in columns:
             continue
         sec = read(off, ln)
@@ -488,6 +552,56 @@ def decode_chunk_file(path: str, columns: list[str] | None = None,
         if bytes_read is not None:
             bytes_read.append(n_read[0])
         return batch
+
+
+def read_blooms(path: str, cols: list[str] | None = None,
+                *, bytes_read: list | None = None) -> dict:
+    """→ {column: (desc, bitmap)} for the chunk's bloom sections, via
+    ranged reads only (tail prefetch + one read per requested bloom —
+    never the column data).  Missing blooms / v1 files → {}.  This is the
+    task-side point-lookup gate: a negative membership test proves a
+    ``col = value`` predicate matches nothing in the chunk, so the whole
+    decode is skipped (Parquet bloom-filter semantics)."""
+    import os as _os
+    out: dict = {}
+    with open(path, "rb") as f:
+        size = _os.fstat(f.fileno()).st_size
+        if size < _TAIL_LEN + 4:
+            return out
+        tail_off = max(0, size - TAIL_PREFETCH)
+        f.seek(tail_off)
+        tail_block = f.read()
+        if tail_block[-4:] != TAIL_MAGIC:
+            return out
+        n_read = [len(tail_block)]
+        tb = memoryview(tail_block)
+
+        def read(off: int, n: int):
+            if off >= tail_off:
+                return tb[off - tail_off:off - tail_off + n]
+            f.seek(off)
+            n_read[0] += n
+            return memoryview(f.read(n))
+
+        tail = read(size - _TAIL_LEN, _TAIL_LEN)
+        flen, _fcrc = struct.unpack_from("<II", tail, 0)
+        foot_b = read(size - _TAIL_LEN - flen, flen)
+        footer = json.loads(bytes(foot_b))
+        for name, off, ln, crc in footer["cols"]:
+            if not name.startswith("__bloom:"):
+                continue
+            col = name[len("__bloom:"):]
+            if cols is not None and col not in cols:
+                continue
+            sec = read(off, ln)
+            if zlib.crc32(sec) & 0xFFFFFFFF != crc:
+                raise ValueError(f"bloom crc mismatch for column {col!r}")
+            (dlen,) = struct.unpack_from("<I", sec, 0)
+            desc = json.loads(bytes(sec[4:4 + dlen]))
+            out[col] = (desc, bytes(sec[4 + dlen:]))
+        if bytes_read is not None:
+            bytes_read.append(n_read[0])
+    return out
 
 
 def _decode_column(desc: dict, vbm: bytes, payload: bytes, n_rows: int,

@@ -100,6 +100,10 @@ class DumpsterReader(DataSourceReader):
         self.names = [f.name for f in schema.fields]
         # col -> [lo, hi] closed interval implied by the pushed predicates
         self.zones: dict[str, list] = {}
+        # string/binary membership predicates for the task-side bloom
+        # gate: AND over entries, OR within each value set (EqualTo →
+        # singleton, In → the whole set)
+        self.eq_sets: list[tuple[str, frozenset]] = []
 
     # -- planning ----------------------------------------------------------
 
@@ -122,6 +126,9 @@ class DumpsterReader(DataSourceReader):
                     if v is not None:
                         if isinstance(f, EqualTo):
                             self._narrow(col, v, v)
+                            if isinstance(v, (str, bytes)):
+                                self.eq_sets.append(
+                                    (col, frozenset({_as_bytes(v)})))
                         elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
                             self._narrow(col, v, None)
                         else:
@@ -130,6 +137,10 @@ class DumpsterReader(DataSourceReader):
                     vs = [_zone_value(v) for v in f.value]
                     if vs and all(v is not None for v in vs):
                         self._narrow(f.attribute[0], min(vs), max(vs))
+                        if all(isinstance(v, (str, bytes)) for v in vs):
+                            self.eq_sets.append(
+                                (f.attribute[0],
+                                 frozenset(_as_bytes(v) for v in vs)))
             except Exception:
                 pass  # unpushable shape → no pruning from this filter
             yield f
@@ -174,7 +185,15 @@ class DumpsterReader(DataSourceReader):
         stats = {s["column"]: s for s in json.loads(col_stats_json)}
         for col, (lo, hi) in self.zones.items():
             s = stats.get(col)
-            if s is None or s.get("vmin") is None:
+            if s is None:
+                continue
+            if isinstance(lo, (str, bytes)) or isinstance(hi, (str, bytes)):
+                # string/binary predicate → truncated byte-bound zone test
+                from .engine import _str_zone_overlaps
+                if not _str_zone_overlaps(s, lo, hi):
+                    return False
+                continue
+            if s.get("vmin") is None:
                 continue  # no zone map for this column → cannot prune
             if lo is not None and s["vmax"] < lo:
                 return False
@@ -202,6 +221,8 @@ class DumpsterReader(DataSourceReader):
         columns = self.names if set(self.names) < set(full_names) else None
         for fp in partition.files:
             try:
+                if self.eq_sets and self._bloom_rejects(fp):
+                    continue  # value provably absent — exact skip
                 batch = decode_chunk_file(fp, columns=columns)
             except Exception:
                 if self.on_error == "skip":
@@ -217,17 +238,42 @@ class DumpsterReader(DataSourceReader):
                     for nm in self.names]
             yield pa.RecordBatch.from_arrays(cols, schema=canon)
 
+    def _bloom_rejects(self, fp: str) -> bool:
+        """True iff some pushed membership predicate's ENTIRE value set is
+        provably absent from this chunk's bloom section (bloom.py — never
+        a false negative, so skipping the file is exact).  Costs one tail
+        ranged read per file, never the column data."""
+        from .bloom import bloom_might_contain
+        from .chunk import read_blooms
+        try:
+            blooms = read_blooms(fp, [c for c, _ in self.eq_sets])
+        except Exception:
+            return False  # unreadable bloom section → fall through to decode
+        for col, values in self.eq_sets:
+            got = blooms.get(col)
+            if got is None:
+                continue  # no bloom for this column → cannot prune
+            desc, bitmap = got
+            if not any(bloom_might_contain(bitmap, desc, v) for v in values):
+                return True
+        return False
+
+
+def _as_bytes(v) -> bytes:
+    return v.encode() if isinstance(v, str) else bytes(v)
+
 
 def _zone_value(v):
-    """Predicate literal → the manifest's int64/float zone-map space, or
-    None when the column kind carries no zone map (strings, binary)."""
+    """Predicate literal → the manifest zone-map space: numerics map to
+    the int64/float zones, str/bytes stay as-is for the truncated string
+    bounds (smin/smax) and the bloom membership gate; None otherwise."""
     import datetime
     if isinstance(v, bool):
         return int(v)
     if isinstance(v, datetime.datetime):
         from .engine import _stat_value
         return _stat_value(v)
-    if isinstance(v, (int, float)):
+    if isinstance(v, (int, float, str, bytes)):
         return v
     return None
 

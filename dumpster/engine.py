@@ -651,7 +651,14 @@ def prune_manifest_files(manifest_rows, zone_filter) -> list[str]:
         ok = True
         for col, lo, hi in filters:
             s = stats.get(col)
-            if s is None or s.get("vmin") is None:
+            if s is None:
+                continue
+            if isinstance(lo, (str, bytes)) or isinstance(hi, (str, bytes)):
+                if not _str_zone_overlaps(s, lo, hi):
+                    ok = False
+                    break
+                continue
+            if s.get("vmin") is None:
                 continue  # no stats → cannot prune on this column
             if s["vmax"] < lo or s["vmin"] > hi:
                 ok = False
@@ -659,6 +666,27 @@ def prune_manifest_files(manifest_rows, zone_filter) -> list[str]:
         if ok:
             keep.append(r["file"])
     return sorted(set(keep))
+
+
+def _str_zone_overlaps(s: dict, lo, hi) -> bool:
+    """String/binary zone test against the chunk's base64 truncated
+    bounds (chunk.py _var_bounds).  smin ≤ true min; smax is None when
+    the max has no byte upper bound — conservative on both sides."""
+    import base64
+    smin = s.get("smin")
+    if smin is None:
+        return True     # no string zone map → cannot prune
+    if isinstance(lo, str):
+        lo = lo.encode()
+    if isinstance(hi, str):
+        hi = hi.encode()
+    cmin = base64.b64decode(smin)
+    smax = s.get("smax")
+    if hi is not None and hi < cmin:
+        return False
+    if lo is not None and smax is not None and lo >= base64.b64decode(smax):
+        return False
+    return True
 
 
 def _chunks_relpath(path: str, marker: str = f"{os.sep}chunks{os.sep}") -> str:
@@ -926,7 +954,15 @@ def decode_tables(spark: SparkSession, dirs: list[str], *,
                     ok = True
                     for col, lo, hi in filters:
                         s = stats.get(col)
-                        if s is None or s.get("vmin") is None:
+                        if s is None:
+                            continue
+                        if isinstance(lo, (str, bytes)) \
+                                or isinstance(hi, (str, bytes)):
+                            if not _str_zone_overlaps(s, lo, hi):
+                                ok = False
+                                break
+                            continue
+                        if s.get("vmin") is None:
                             continue  # no stats → cannot prune
                         if s["vmax"] < lo or s["vmin"] > hi:
                             ok = False
@@ -977,15 +1013,36 @@ def decode_tables(spark: SparkSession, dirs: list[str], *,
                 schema=sch)
         return batch
 
+    # string-equality predicates gate chunks task-side through the bloom
+    # sections (one small ranged read) BEFORE any column is decoded —
+    # Parquet-bloom-filter semantics: a negative proves absence, a
+    # positive falls through to the normal decode + row-level filter
+    eq_preds = []
+    if zone_filter is not None:
+        zf = ([zone_filter] if isinstance(zone_filter, tuple)
+              else list(zone_filter))
+        for c, lo, hi in zf:
+            if lo is not None and lo == hi and isinstance(lo, (str, bytes)):
+                eq_preds.append(
+                    (c, lo.encode() if isinstance(lo, str) else bytes(lo)))
+
     def reader(batches):
         try:  # same per-worker pool pinning as the encoder (see _make_encoder)
             pa.set_cpu_count(1)
             pa.set_io_thread_count(1)
         except Exception:
             pass
+        if eq_preds:
+            from .bloom import bloom_might_contain
+            from .chunk import read_blooms
         for b in batches:
             for fp in b.column(0).to_pylist():
                 try:
+                    if eq_preds:
+                        bl = read_blooms(fp, [c for c, _ in eq_preds])
+                        if any(c in bl and not bloom_might_contain(
+                                bl[c][1], bl[c][0], v) for c, v in eq_preds):
+                            continue
                     yield _pad_missing(decode_chunk_file(
                         fp, columns=names if pruned else None))
                 except Exception:

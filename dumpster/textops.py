@@ -79,42 +79,9 @@ def lang_id(df: DataFrame, text_col: str = "text",
     return df.select(F.col(id_col), guessed.alias("lang_guess"))
 
 
-MOD = (1 << 61) - 1
-POLY = 1_000_003
-
-_U32 = np.uint64(0xFFFFFFFF)
-_P61 = np.uint64(MOD)
-
-
-def _modmul61(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """Vectorized (a*b) mod 2^61-1 for a, b < 2^61, via 32-bit limbs.
-
-    2^61 ≡ 1 and 2^64 ≡ 8 (mod p) collapse the 122-bit product into
-    uint64-safe partials — no Python bigints, no per-element loop.
-    """
-    a = a.astype(np.uint64, copy=False)
-    b = np.asarray(b, dtype=np.uint64)
-    a1, a0 = a >> np.uint64(32), a & _U32
-    b1, b0 = b >> np.uint64(32), b & _U32
-    hh = a1 * b1                        # < 2^58; *2^64 ≡ *8 → < 2^61
-    mid = a1 * b0 + a0 * b1             # < 2^62; *2^32 split at bit 29
-    ll = a0 * b0                        # < 2^64 → reduce once
-    s = (hh << np.uint64(3)) \
-        + (mid >> np.uint64(29)) \
-        + ((mid & np.uint64((1 << 29) - 1)) << np.uint64(32)) \
-        + ((ll >> np.uint64(61)) + (ll & _P61))
-    s = (s >> np.uint64(61)) + (s & _P61)
-    s = (s >> np.uint64(61)) + (s & _P61)
-    return np.where(s >= _P61, s - _P61, s)
-
-
-def _pow_table(n: int) -> np.ndarray:
-    """[POLY^0 .. POLY^(n-1)] mod 2^61-1, built by vectorized doubling."""
-    pows = np.array([1], dtype=np.uint64)
-    while len(pows) < n:
-        step = _modmul61(pows[-1:], np.uint64(POLY))[0]
-        pows = np.concatenate([pows, _modmul61(pows, step)])
-    return pows[:n]
+# hash kernel shared with the chunk-level bloom filters; it lives in the
+# Spark-free bloom module so the codec layer never imports pyspark
+from .bloom import MOD, POLY, _P61, _U32, _modmul61, _pow_table  # noqa: E402,F401
 
 
 def _utf8_buffers(texts: pd.Series):

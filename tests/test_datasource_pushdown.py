@@ -94,7 +94,9 @@ def test_equality_and_in_filters_prune(encoded_docs):
     assert set(eq_files) <= set(in_files)
 
 
-def test_string_filter_never_prunes_but_stays_exact(spark, encoded_docs):
+def test_string_filter_stays_exact(spark, encoded_docs):
+    # string predicates may prune via smin/smax zones and blooms
+    # (tests/test_bloom.py); whatever survives must answer exactly
     register_decoded_view(spark, encoded_docs, "docs_push2", pushdown=True)
     got = spark.sql("SELECT count(*) AS n FROM docs_push2 "
                     "WHERE lang = 'en'").collect()[0]["n"]
