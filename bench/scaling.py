@@ -160,13 +160,14 @@ the engine adds no per-core coordination overhead.
         for c in sorted(results)) + """
 
 Other local-mode engineering notes (dumpster/session.py):
-* `spark.task.cpus` is raised to 3 at ≥24 cores: an Arrow-UDF stage runs a
+* `spark.task.cpus` is raised to 2 at ≥12 cores: an Arrow-UDF stage runs a
   Python worker per slot NEXT TO the JVM thread feeding it, and slots ≈
   cores oversubscribes the box 2× — capping concurrent workers removed a
-  3-13× encode-wall inflation at local[32].  Re-measured in round 2 with
-  the 3.9×-faster codec: task.cpus=1 still thrashes (3× worse); 2 ≈ 3
-  within noise; 3 kept.  On a real cluster the same intent is expressed
-  per-executor (executor cores < vcores for Python-heavy stages).
+  3-13× encode-wall inflation at local[32].  Re-measured in round 3 with
+  fresh interleaved JVMs after the codec lost ~2.5× of its CPU: tc=2
+  beats the previous tc=3 by 15-20% on every round; tc=1 still thrashes.
+  On a real cluster the same intent is expressed per-executor (executor
+  cores < vcores for Python-heavy stages).
 * shuffle compression is ON (lz4): a round-2 interleaved A/B/A/B shows it
   ~20-25% faster on best-of trials — the box is bandwidth-bound, so fewer
   shuffle bytes wins (and network-shuffle clusters compress anyway).

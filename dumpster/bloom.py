@@ -75,8 +75,13 @@ _MAX_M_BITS = 1 << 23       # 1 MiB bitmap cap per column
 
 def poly_hash_rows(data, offsets: np.ndarray) -> np.ndarray:
     """uint64 poly-hash (mod 2^61-1) of each [offsets[i], offsets[i+1])
-    slice of ``data`` — vectorized: positional weights from a doubling
-    power table, 32-bit-limb modmul, per-row reduceat sums."""
+    slice of ``data``, WORD-wise: each row's bytes are viewed as
+    zero-padded little-endian uint64 words, each word folded mod p, then
+    Horner-combined with POLY weights — one modmul per 8 BYTES instead
+    of per byte (the per-byte variant was ~45% of a whole chunk encode).
+    Bloom hashing needs determinism, not a specific polynomial, so the
+    word radix is free to differ from textops.doc_fingerprint's byte
+    radix (those values are pinned)."""
     offs = np.asarray(offsets, dtype=np.int64)
     n = len(offs) - 1
     out = np.zeros(n, dtype=np.uint64)
@@ -87,16 +92,27 @@ def poly_hash_rows(data, offsets: np.ndarray) -> np.ndarray:
     if not len(ne):
         return out
     buf = np.frombuffer(data, dtype=np.uint8, count=int(offs[-1]))
-    starts, ends, l = offs[:-1][ne], offs[1:][ne], lens[ne]
+    starts, l = offs[:-1][ne], lens[ne]
+    k = (l + 7) >> 3                      # words per row
+    tw = int(k.sum())
+    # gather every source byte into its zero-padded word slot (one copy)
+    dst_row0 = np.concatenate(([0], np.cumsum(k)[:-1])) << 3
     within = np.arange(int(l.sum()), dtype=np.int64) - np.repeat(
         np.concatenate(([0], np.cumsum(l)[:-1])), l)
-    idx = np.repeat(starts, l) + within
-    pows = _pow_table(int(l.max()))
-    exps = np.repeat(ends, l) - 1 - idx
-    terms = _modmul61(buf[idx].astype(np.uint64), pows[exps])
-    seg = np.concatenate(([0], np.cumsum(l)[:-1]))
-    u32 = np.uint64(0xFFFFFFFF)
+    padded = np.zeros(tw * 8, dtype=np.uint8)
+    padded[np.repeat(dst_row0, l) + within] = \
+        buf[np.repeat(starts, l) + within]
     p61 = np.uint64(MOD)
+    w = padded.view(np.uint64)            # little-endian platform
+    w = (w >> np.uint64(61)) + (w & p61)  # fold < 2^64 into < 2^61+7
+    w = np.where(w >= p61, w - p61, w)
+    # positional weights: word j of a k-word row gets POLY^(k-1-j)
+    word_within = np.arange(tw, dtype=np.int64) - np.repeat(
+        np.concatenate(([0], np.cumsum(k)[:-1])), k)
+    exps = np.repeat(k, k) - 1 - word_within
+    terms = _modmul61(w, _pow_table(int(k.max()))[exps])
+    seg = np.concatenate(([0], np.cumsum(k)[:-1]))
+    u32 = np.uint64(0xFFFFFFFF)
     lo = np.add.reduceat(terms & u32, seg)
     hi = np.add.reduceat(terms >> np.uint64(32), seg)
     lo = (lo >> np.uint64(61)) + (lo & p61)
@@ -112,8 +128,9 @@ def poly_hash_one(value: bytes) -> int:
     """Scalar twin of poly_hash_rows for the query-side membership probe
     (predicate literals are tens of bytes — a Python loop is fine)."""
     h = 0
-    for b in value:
-        h = (h * POLY + b) % MOD
+    for j in range(0, len(value), 8):
+        w = int.from_bytes(value[j:j + 8].ljust(8, b"\x00"), "little")
+        h = (h * POLY + w % MOD) % MOD
     return h
 
 
@@ -133,19 +150,24 @@ def choose_m_bits(n_values: int) -> int:
 
 
 def bloom_build(data, offsets: np.ndarray) -> tuple[bytes, dict]:
-    """→ (bitmap bytes, desc).  desc = {"m": m_bits, "k": k, "v": 1}."""
-    n = len(offsets) - 1
-    m_bits = choose_m_bits(n)
-    pos = _positions(poly_hash_rows(data, offsets), m_bits)
+    """→ (bitmap bytes, desc).  desc = {"m": m_bits, "k": k, "v": 2}.
+    The bitmap is sized by DISTINCT hashes, not row count — a 64 Ki-row
+    chunk of a 5-value language column gets a 4 Kib bitmap, not 512 Kib
+    (same fp rate: only distinct values set bits)."""
+    hashes = np.unique(poly_hash_rows(data, offsets))
+    m_bits = choose_m_bits(len(hashes))
+    pos = _positions(hashes, m_bits)
     bits = np.zeros(m_bits, dtype=bool)
     bits[pos.reshape(-1)] = True
     return np.packbits(bits, bitorder="little").tobytes(), \
-        {"m": m_bits, "k": _K, "v": 1}
+        {"m": m_bits, "k": _K, "v": 2}
 
 
 def bloom_might_contain(bitmap, desc: dict, value: bytes) -> bool:
-    if desc.get("v") != 1:
-        return True     # unknown future version → cannot prove absence
+    if desc.get("v") != 2:
+        # v1 chunks (byte-radix hash, one pre-release commit) and unknown
+        # future versions: cannot prove absence → never prune
+        return True
     pos = _positions(poly_hash_one(value), desc["m"], desc["k"])[0]
     bits = np.frombuffer(bitmap, dtype=np.uint8)
     return bool(np.all(bits[pos >> 3] & (np.uint8(1) << (pos & 7))))

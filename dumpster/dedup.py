@@ -136,12 +136,17 @@ def minhash_signatures(df: DataFrame, n_bands: int = 8,
     """
     sh = shingles(df, n=n).withColumn(
         "h", shingle_hash(F.col("shingle")) % MINHASH_P)
-    bands = F.explode(F.array(*[F.lit(i) for i in range(n_bands)])).alias("band")
-    exploded = sh.select("doc_id", "h", bands)
-    sig = ((F.col("band") * 2 + 1) * F.col("h") + F.col("band")) % MINHASH_P
-    return (exploded
-            .groupBy("doc_id", "band")
-            .agg(F.min(sig).alias("sig")))
+    # one aggregate per band over the SHINGLE rows, exploded to (band,
+    # sig) only after the groupBy: the former explode-then-group shape
+    # shuffled n_bands× the shingle count; this shape shuffles the
+    # shingles once (map-side partial min) and emits docs × n_bands rows
+    aggs = [F.min(((F.lit(i) * 2 + 1) * F.col("h") + F.lit(i)) % MINHASH_P)
+            .alias(f"_s{i}") for i in range(n_bands)]
+    per_doc = sh.groupBy("doc_id").agg(*aggs)
+    return per_doc.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"_s{i}") for i in range(n_bands)]))
+        .alias("band", "sig"))
 
 
 def minhash_lsh_pairs(df: DataFrame, n_bands: int = 8, min_bands: int = 2,

@@ -21,13 +21,17 @@ def _auto_task_cpus(cores: int) -> int:
     task thread that feeds it — at slots ≈ cores that is 2× CPU
     oversubscription plus slots× allocation pressure, and measured encode
     wall at local[32] was 3-13× worse than local[8] on the same input.
-    Reserving cores per task (slots ≈ cores/3 at high core counts) removes
-    the inflation entirely: encode wall 40-80 s → 6 s at 32 cores, and the
-    Arrow-UDF analysis queries sped up 2× as well.  On a real cluster the
-    same intent is expressed per-executor (spark.task.cpus or executor
-    cores < vcores), standard practice for Python-UDF-heavy stages."""
-    if cores >= 24:
-        return 3
+    Reserving cores per task removes the inflation entirely: encode wall
+    40-80 s → 6 s at 32 cores, and the Arrow-UDF analysis queries sped up
+    2× as well.  On a real cluster the same intent is expressed
+    per-executor (spark.task.cpus or executor cores < vcores), standard
+    practice for Python-UDF-heavy stages.
+
+    Round 3 re-measured the high-core value with fresh JVMs interleaved
+    (tc=3/2/1 rotated, 3 rounds, sf0.1): after the codec lost ~2.5× of
+    its CPU, tc=2 beats tc=3 by 15-20% on every round (3.9-4.4 s vs
+    5.0 s) while tc=1 still thrashes (6-9 s) — the leaner Python worker
+    leaves room for more slots, but not for full oversubscription."""
     if cores >= 12:
         return 2
     return 1
