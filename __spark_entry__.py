@@ -599,6 +599,35 @@ def q_str_point_lookup(spark, sf):
     """)
 
 
+def q_url_prefix_scan(spark, sf):
+    """Host-prefix scan through the pushdown view (``WHERE url LIKE
+    'https://<host>%'``) — the second most common web-table query shape
+    after the point lookup.  Catalyst pushes the LIKE as
+    StringStartsWith; the reader maps the prefix to the string-zone
+    interval [prefix, inc(prefix)) (Parquet truncated-bound increment)
+    and prunes chunk files at planning time.  Exactness at any zone
+    granularity: Spark re-applies the row predicate.  Pruning
+    engagement is asserted in tests/test_datasource_pushdown.py."""
+    from dumpster.engine import register_decoded_view
+
+    docs = _t(spark, sf, "documents")
+    pages = docs.select(
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".example/d/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        "doc_id", "lang", "n_chars")
+    out = tempfile.mkdtemp(prefix="dumpster_q_pfx_")
+    encode_table(pages.orderBy("url"), out,
+                 bucket_expr=F.pmod(F.xxhash64("url"), F.lit(4)).cast("int"),
+                 n_buckets=4, chunk_rows=64, order_cols=("url",),
+                 table_id="pages_pfx")
+    register_decoded_view(spark, out, "dumpster_pages_pfx", pushdown=True)
+    host = docs.orderBy("doc_id").first()["source"]
+    return spark.sql(f"""
+        SELECT url, doc_id, lang, n_chars FROM dumpster_pages_pfx
+        WHERE url LIKE 'https://{host}.example/%'
+    """)
+
+
 def q_compact_stream_roundtrip(spark, sf):
     """Small-file compaction (streaming.compact_stream): three micro-batch
     tables of KB-sized chunklets fold into one well-chunked table whose
@@ -715,6 +744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_over_encoded_table": q_sql_over_encoded_table,
         "pushdown_where_view": q_pushdown_where_view,
         "str_point_lookup": q_str_point_lookup,
+        "url_prefix_scan": q_url_prefix_scan,
         "compact_stream_roundtrip": q_compact_stream_roundtrip,
         "catalog_restore": q_catalog_restore,
         "schema_evolution_store": q_schema_evolution_store,
@@ -972,6 +1002,14 @@ def oracle_sql() -> dict[str, str]:
                    || CAST(doc_id AS VARCHAR) AS url,
                    doc_id, lang, n_chars
             FROM documents WHERE doc_id = 42
+        """,
+        "url_prefix_scan": """
+            SELECT 'https://' || source || '.example/d/'
+                   || CAST(doc_id AS VARCHAR) AS url,
+                   doc_id, lang, n_chars
+            FROM documents
+            WHERE source = (SELECT source FROM documents
+                            ORDER BY doc_id LIMIT 1)
         """,
         "compact_stream_roundtrip": """
             SELECT doc_id, text, lang, source, n_chars FROM documents

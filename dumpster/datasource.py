@@ -41,10 +41,11 @@ from typing import Iterator
 
 import pyarrow as pa
 
-from pyspark.sql.datasource import (DataSource, DataSourceReader, EqualTo,
-                                    GreaterThan, GreaterThanOrEqual, In,
-                                    InputPartition, LessThan,
-                                    LessThanOrEqual)
+from pyspark.sql.datasource import (DataSource, DataSourceReader,
+                                    EqualNullSafe, EqualTo, GreaterThan,
+                                    GreaterThanOrEqual, In, InputPartition,
+                                    IsNotNull, IsNull, LessThan,
+                                    LessThanOrEqual, StringStartsWith)
 from pyspark.sql.types import StructType
 
 _DEFAULT_TARGET_BYTES = 64 * 1024 * 1024
@@ -104,6 +105,9 @@ class DumpsterReader(DataSourceReader):
         # gate: AND over entries, OR within each value set (EqualTo →
         # singleton, In → the whole set)
         self.eq_sets: list[tuple[str, frozenset]] = []
+        # (col, want_null) null-membership predicates: IsNull prunes
+        # chunks with zero nulls, IsNotNull chunks that are all-null
+        self.null_preds: list[tuple[str, bool]] = []
 
     # -- planning ----------------------------------------------------------
 
@@ -118,13 +122,18 @@ class DumpsterReader(DataSourceReader):
         """
         for f in filters:
             try:
-                if isinstance(f, (EqualTo, GreaterThan, GreaterThanOrEqual,
-                                  LessThan, LessThanOrEqual)) \
+                if isinstance(f, (EqualTo, EqualNullSafe, GreaterThan,
+                                  GreaterThanOrEqual, LessThan,
+                                  LessThanOrEqual)) \
                         and len(f.attribute) == 1:
                     col = f.attribute[0]
+                    if isinstance(f, EqualNullSafe) and f.value is None:
+                        self.null_preds.append((col, True))  # col <=> NULL
+                        yield f
+                        continue
                     v = _zone_value(f.value)
                     if v is not None:
-                        if isinstance(f, EqualTo):
+                        if isinstance(f, (EqualTo, EqualNullSafe)):
                             self._narrow(col, v, v)
                             if isinstance(v, (str, bytes)):
                                 self.eq_sets.append(
@@ -133,6 +142,21 @@ class DumpsterReader(DataSourceReader):
                             self._narrow(col, v, None)
                         else:
                             self._narrow(col, None, v)
+                elif isinstance(f, StringStartsWith) \
+                        and len(f.attribute) == 1:
+                    # LIKE 'prefix%' — matching values lie in
+                    # [prefix, inc(prefix)); the closed-interval approx
+                    # with hi = inc(prefix) only ever keeps extra chunks
+                    from .chunk import _inc_bytes
+                    pfx = f.value
+                    if isinstance(pfx, str) and pfx:
+                        hi = _inc_bytes(pfx.encode())
+                        self._narrow(f.attribute[0], pfx,
+                                     None if hi is None else hi)
+                elif isinstance(f, (IsNull, IsNotNull)) \
+                        and len(f.attribute) == 1:
+                    self.null_preds.append(
+                        (f.attribute[0], isinstance(f, IsNull)))
                 elif isinstance(f, In) and len(f.attribute) == 1:
                     vs = [_zone_value(v) for v in f.value]
                     if vs and all(v is not None for v in vs):
@@ -161,11 +185,13 @@ class DumpsterReader(DataSourceReader):
                       if f.startswith("b") and f.endswith(".parquet")]
             if mfiles:
                 tbl = ds.dataset(mfiles).to_table(
-                    columns=["file", "encoded_bytes", "col_stats"])
-                for fp, nb, cs in zip(tbl.column(0).to_pylist(),
-                                      tbl.column(1).to_pylist(),
-                                      tbl.column(2).to_pylist()):
-                    if self.zones and not self._survives(cs):
+                    columns=["file", "encoded_bytes", "col_stats", "n_rows"])
+                for fp, nb, cs, nr in zip(tbl.column(0).to_pylist(),
+                                          tbl.column(1).to_pylist(),
+                                          tbl.column(2).to_pylist(),
+                                          tbl.column(3).to_pylist()):
+                    if (self.zones or self.null_preds) \
+                            and not self._survives(cs, int(nr)):
                         continue
                     files_sizes.append((fp, int(nb)))
         # deterministic order, then greedy bin-pack to target_bytes
@@ -181,8 +207,17 @@ class DumpsterReader(DataSourceReader):
             parts.append(ChunkFilesPartition(cur))
         return parts or [ChunkFilesPartition([])]
 
-    def _survives(self, col_stats_json: str) -> bool:
+    def _survives(self, col_stats_json: str, n_rows: int) -> bool:
         stats = {s["column"]: s for s in json.loads(col_stats_json)}
+        for col, want_null in self.null_preds:
+            s = stats.get(col)
+            nn = None if s is None else s.get("n_nulls")
+            if nn is None:
+                continue
+            if want_null and nn == 0:
+                return False            # IS NULL, chunk has no nulls
+            if not want_null and nn >= n_rows > 0:
+                return False            # IS NOT NULL, chunk is all-null
         for col, (lo, hi) in self.zones.items():
             s = stats.get(col)
             if s is None:

@@ -132,3 +132,70 @@ def test_pushdown_with_schema_evolution(spark, tmp_path):
                      "WHERE doc_id IN (10, 600) ORDER BY doc_id").collect()
     assert [(r["doc_id"], r["lang"], r["extra"]) for r in rows] == \
         [(10, "aa", None), (600, "bb", 1200)]
+
+
+def test_like_prefix_pushdown_prunes_and_stays_exact(spark, tmp_path_factory):
+    from pyspark.sql.datasource import StringStartsWith
+    from dumpster.engine import table_schema
+    out = str(tmp_path_factory.mktemp("enc_prefix"))
+    n = 2000
+    df = (spark.range(n)
+          .select(F.col("id").alias("doc_id"),
+                  F.concat(F.lit("https://h"),
+                           (F.col("id") % 9).cast("string"),
+                           F.lit(".example/p/"),
+                           F.col("id").cast("string")).alias("url")))
+    encode_table(df.orderBy("url"), out,
+                 bucket_expr=(F.col("doc_id") % 4).cast("int"), n_buckets=4,
+                 chunk_rows=128, order_cols=("url",), table_id="pfx")
+    schema = table_schema(out)
+    all_files = _flat_files(DumpsterReader({"path": out}, schema)
+                            .partitions())
+    rd = DumpsterReader({"path": out}, schema)
+    list(rd.pushFilters([StringStartsWith(("url",), "https://h4")]))
+    kept = _flat_files(rd.partitions())
+    assert 0 < len(kept) < len(all_files)  # prefix zones prune
+    register_decoded_view(spark, out, "pfx_push", pushdown=True)
+    got = spark.sql("SELECT count(*) AS c FROM pfx_push "
+                    "WHERE url LIKE 'https://h4%'").collect()[0]["c"]
+    want = sum(1 for i in range(n)
+               if f"https://h{i % 9}.example/p/{i}".startswith("https://h4"))
+    assert got == want
+
+
+def test_null_predicates_prune_and_stay_exact(spark, tmp_path_factory):
+    from pyspark.sql.datasource import IsNotNull, IsNull
+    from dumpster.engine import table_schema
+    out = str(tmp_path_factory.mktemp("enc_nulls"))
+    # bucket 0: extra always null; bucket 1: extra never null
+    df = (spark.range(1000)
+          .select(F.col("id").alias("doc_id"),
+                  F.when(F.col("id") % 2 == 0, None)
+                  .otherwise(F.col("id") * 3).alias("extra"),
+                  (F.col("id") % 2).cast("int").alias("b")))
+    encode_table(df, out, bucket_expr=F.col("b"), n_buckets=2,
+                 chunk_rows=64, order_cols=("doc_id",), table_id="nl")
+    schema = table_schema(out)
+    all_files = _flat_files(DumpsterReader({"path": out}, schema)
+                            .partitions())
+    rd_nn = DumpsterReader({"path": out}, schema)
+    list(rd_nn.pushFilters([IsNotNull(("extra",))]))
+    kept_nn = _flat_files(rd_nn.partitions())
+    assert 0 < len(kept_nn) < len(all_files)   # all-null chunks pruned
+    rd_n = DumpsterReader({"path": out}, schema)
+    list(rd_n.pushFilters([IsNull(("extra",))]))
+    kept_n = _flat_files(rd_n.partitions())
+    assert 0 < len(kept_n) < len(all_files)    # no-null chunks pruned
+    assert set(kept_nn) | set(kept_n) == set(all_files)
+    register_decoded_view(spark, out, "nulls_push", pushdown=True)
+    a = spark.sql("SELECT count(*) AS c FROM nulls_push "
+                  "WHERE extra IS NULL").collect()[0]["c"]
+    b = spark.sql("SELECT count(*) AS c FROM nulls_push "
+                  "WHERE extra IS NOT NULL").collect()[0]["c"]
+    assert (a, b) == (500, 500)
+    # null-safe equality: <=> NULL behaves as IS NULL, <=> v as equality
+    c = spark.sql("SELECT count(*) AS c FROM nulls_push "
+                  "WHERE extra <=> NULL").collect()[0]["c"]
+    d = spark.sql("SELECT doc_id FROM nulls_push "
+                  "WHERE extra <=> 9").collect()
+    assert c == 500 and [r["doc_id"] for r in d] == [3]
