@@ -128,6 +128,35 @@ def main():
             and ("Input [1]: [file#" in p or "Exchange" not in p),
     })
 
+    # 3b. transparent pushdown view: Python DataSource scan + row-level
+    # re-apply; planning-time chunk pruning is asserted by file count
+    from dumpster.engine import register_decoded_view, table_schema
+    from dumpster.datasource import DumpsterReader
+    from pyspark.sql.datasource import EqualTo
+
+    out_z = tempfile.mkdtemp(prefix="explain_push_")
+    encode_table(docs.orderBy("doc_id"), out_z,
+                 bucket_expr=(F.col("doc_id") % 4).cast("int"),
+                 n_buckets=4, chunk_rows=32, order_cols=("doc_id",))
+    register_decoded_view(spark, out_z, "explain_push", pushdown=True)
+    pq = spark.sql(
+        "SELECT doc_id, lang FROM explain_push WHERE doc_id BETWEEN 10 AND 40")
+    p = plan_of(pq)
+    schema = table_schema(out_z)
+    n_all = sum(len(pt.files) for pt in
+                DumpsterReader({"path": out_z}, schema).partitions())
+    rd = DumpsterReader({"path": out_z}, schema)
+    list(rd.pushFilters([EqualTo(("doc_id",), 20)]))
+    n_pruned = sum(len(pt.files) for pt in rd.partitions())
+    ok &= section("pushdown view (DataSource scan, zone-pruned planning)", pq, {
+        "plan scans the dumpster DataSource (no full-decode fallback)":
+            "BatchScan dumpster" in p or "PythonScan" in p.replace(" ", ""),
+        "row predicate re-applied above the scan (exactness)":
+            "Filter" in p and "doc_id" in p,
+        "zone maps prune chunk files at planning time":
+            0 < n_pruned < n_all,
+    })
+
     # 4. ANN brute force: no shuffle on the big side before top-k
     import __spark_entry__ as e
     ann = e.queries()["ann_topk_cosine"](spark, SF)
