@@ -199,3 +199,52 @@ def test_null_predicates_prune_and_stay_exact(spark, tmp_path_factory):
     d = spark.sql("SELECT doc_id FROM nulls_push "
                   "WHERE extra <=> 9").collect()
     assert c == 500 and [r["doc_id"] for r in d] == [3]
+
+
+def test_randomized_where_equivalence(spark, tmp_path_factory):
+    """Catch-all: 24 deterministic pseudo-random WHERE clauses over every
+    pushable shape (range, equality, IN, LIKE-prefix, IS [NOT] NULL,
+    null-safe equality, conjunctions) answer identically through the
+    pushdown view and the raw DataFrame.  Pruning may engage or not —
+    exactness must hold either way."""
+    import random
+    out = str(tmp_path_factory.mktemp("enc_rand"))
+    n = 3000
+    df = (spark.range(n)
+          .select(F.col("id").alias("doc_id"),
+                  F.concat(F.lit("https://h"),
+                           (F.col("id") % 11).cast("string"),
+                           F.lit(".example/p/"),
+                           F.col("id").cast("string")).alias("url"),
+                  (F.col("id") % 7).cast("string").alias("lang"),
+                  F.when(F.col("id") % 3 == 0, None)
+                  .otherwise(F.col("id") * 2).alias("score")))
+    encode_table(df.orderBy("doc_id"), out,
+                 bucket_expr=(F.col("doc_id") % 4).cast("int"), n_buckets=4,
+                 chunk_rows=256, order_cols=("doc_id",), table_id="rand")
+    register_decoded_view(spark, out, "rand_push", pushdown=True)
+    df.createOrReplaceTempView("rand_raw")
+    rng = random.Random(7)
+    clauses = []
+    for _ in range(8):
+        a, b = sorted(rng.sample(range(n), 2))
+        clauses.append(f"doc_id BETWEEN {a} AND {b}")
+    for _ in range(4):
+        i = rng.randrange(n)
+        clauses.append(f"url = 'https://h{i % 11}.example/p/{i}'")
+    for _ in range(3):
+        vs = ", ".join(f"'https://h{i % 11}.example/p/{i}'"
+                       for i in rng.sample(range(n), 3))
+        clauses.append(f"url IN ({vs})")
+    for _ in range(3):
+        clauses.append(f"url LIKE 'https://h{rng.randrange(11)}%'")
+    clauses += ["score IS NULL", "score IS NOT NULL", "score <=> NULL",
+                f"score <=> {rng.randrange(n) * 2}",
+                "doc_id > 2500 AND lang = '3' AND score IS NOT NULL",
+                "url LIKE 'https://h5%' AND doc_id < 700"]
+    for c in clauses:
+        got = spark.sql(f"SELECT sum(doc_id) AS s, count(*) AS c "
+                        f"FROM rand_push WHERE {c}").collect()[0]
+        want = spark.sql(f"SELECT sum(doc_id) AS s, count(*) AS c "
+                         f"FROM rand_raw WHERE {c}").collect()[0]
+        assert (got["s"], got["c"]) == (want["s"], want["c"]), c
