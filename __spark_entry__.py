@@ -703,6 +703,29 @@ def q_embeddings_roundtrip(spark, sf):
                                  "missing_rows long, extra_rows long")
 
 
+def q_writer_sink_roundtrip(spark, sf):
+    """The df.write front door: two appends through Spark's V2 commit
+    protocol (chunks task-side, manifests published by the driver
+    committer — the reference's data-before-offset-commit ordering,
+    HourlyBasedPartitioner.java:160-182, as a native Spark sink).  The
+    second append carries an extra column, so the read also exercises
+    add-only evolution null-fill.  tests/test_writer_sink.py asserts the
+    invisibility-until-commit and abort semantics."""
+    from dumpster.datasource import register_dumpster_source
+
+    register_dumpster_source(spark)
+    docs = _t(spark, sf, "documents")
+    out = tempfile.mkdtemp(prefix="dumpster_q_wsink_")
+    docs.filter(F.col("doc_id") % 2 == 0) \
+        .select("doc_id", "lang", "source") \
+        .write.format("dumpster").mode("append").save(out)
+    docs.filter(F.col("doc_id") % 2 == 1) \
+        .select("doc_id", "lang", "source",
+                (F.col("n_chars").cast("double") / 100).alias("quality")) \
+        .write.format("dumpster").mode("append").save(out)
+    return spark.read.format("dumpster").option("path", out).load()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dict_codes_lang": q_dict_codes_lang,
@@ -746,6 +769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "str_point_lookup": q_str_point_lookup,
         "url_prefix_scan": q_url_prefix_scan,
         "compact_stream_roundtrip": q_compact_stream_roundtrip,
+        "writer_sink_roundtrip": q_writer_sink_roundtrip,
         "catalog_restore": q_catalog_restore,
         "schema_evolution_store": q_schema_evolution_store,
         "multischema_routing": q_multischema_routing,
@@ -1013,6 +1037,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "compact_stream_roundtrip": """
             SELECT doc_id, text, lang, source, n_chars FROM documents
+        """,
+        "writer_sink_roundtrip": """
+            SELECT doc_id, lang, source, CAST(NULL AS DOUBLE) AS quality
+            FROM documents WHERE doc_id % 2 = 0
+            UNION ALL
+            SELECT doc_id, lang, source, CAST(n_chars AS DOUBLE) / 100
+            FROM documents WHERE doc_id % 2 = 1
         """,
         "schema_evolution_union": """
             SELECT doc_id, lang, source, CAST(NULL AS DOUBLE) AS quality

@@ -41,11 +41,13 @@ from typing import Iterator
 
 import pyarrow as pa
 
-from pyspark.sql.datasource import (DataSource, DataSourceReader,
+from pyspark.sql.datasource import (DataSource, DataSourceArrowWriter,
+                                    DataSourceReader,
                                     EqualNullSafe, EqualTo, GreaterThan,
                                     GreaterThanOrEqual, In, InputPartition,
                                     IsNotNull, IsNull, LessThan,
-                                    LessThanOrEqual, StringStartsWith)
+                                    LessThanOrEqual, StringStartsWith,
+                                    WriterCommitMessage)
 from pyspark.sql.types import StructType
 
 _DEFAULT_TARGET_BYTES = 64 * 1024 * 1024
@@ -89,6 +91,9 @@ class DumpsterDataSource(DataSource):
 
     def reader(self, schema: StructType) -> "DumpsterReader":
         return DumpsterReader(dict(self.options), schema)
+
+    def writer(self, schema: StructType, overwrite: bool) -> "DumpsterWriter":
+        return DumpsterWriter(dict(self.options), schema, overwrite)
 
 
 class DumpsterReader(DataSourceReader):
@@ -292,6 +297,219 @@ class DumpsterReader(DataSourceReader):
             if not any(bloom_might_contain(bitmap, desc, v) for v in values):
                 return True
         return False
+
+
+# -- write path --------------------------------------------------------------
+
+
+class DumpsterCommitMessage(WriterCommitMessage):
+    """Per-task commit message: the manifest rows for every chunk the task
+    wrote.  One message per task — the same granularity as Spark's own
+    FileBatchWrite, whose tasks each report their written files to the
+    driver-side committer."""
+
+    def __init__(self, rows: list, partition_id: int):
+        self.rows = rows
+        self.partition_id = partition_id
+
+
+class DumpsterWriter(DataSourceArrowWriter):
+    """``df.write.format("dumpster").option("path", out_dir).mode(...)`` —
+    the engine as a first-class Spark batch sink.
+
+    Semantics map 1:1 onto Spark's V2 commit protocol, which is the
+    idiomatic home for the engine's existing manifest-after-chunks
+    contract (reference ordering parity: data upload before offset
+    commit, HourlyBasedPartitioner.java:160-182 → TopicStreamer.java:65):
+
+    * tasks encode Arrow batches into durable chunk files (no manifest),
+      returning the chunk metadata as the commit message;
+    * ``commit()`` (driver, all tasks succeeded) publishes the per-bucket
+      manifest files — the atomic visibility flip every reader keys on;
+    * ``abort()`` best-effort deletes reported chunks; unreported ones
+      (failed tasks) are manifest-less orphans that ``clean_orphans``
+      sweeps, exactly like a crashed ``encode_table`` run.
+
+    Bucketing: a writer cannot introduce a shuffle, so the default is
+    local-mode semantics — bucket = write-task partition id (appends get
+    fresh ids past the store's current max).  For the salted host-grouped
+    layout, prep the frame first and point the writer at the prepped
+    bucket column::
+
+        prepped = pipeline.prep_for_encode(df, "url", n_buckets=128)
+        prepped.write.format("dumpster").option("path", d) \\
+               .option("bucket_col", "__bucket").mode("append").save()
+
+    ``commit()`` refuses (before any manifest is published, so nothing
+    becomes visible) if one bucket's chunks came from two tasks — that
+    means the input was not partitioned by the bucket column and chunk
+    names may have collided.  ``prep_for_encode`` output is always
+    hash-partitioned by ``__bucket``, so this only trips hand-rolled
+    bucket columns.
+
+    Task retries/speculation are safe in both modes: a retry re-encodes
+    the same input partition to the same deterministic chunk names with
+    identical bytes.
+
+    Options: ``path`` (required), ``bucket_col``, ``chunk_rows``,
+    ``chunk_bytes``, ``allow_zlib`` ("false" to disable the byte stage),
+    ``table_id``.  Modes: append | overwrite (overwrite truncates the
+    store's chunks/manifest/schema at writer creation, like Spark's
+    static-overwrite file sinks).  Structs are not flattened on this
+    path — use ``engine.encode_table`` for struct-typed frames.
+    """
+
+    def __init__(self, options: dict, schema: StructType, overwrite: bool):
+        from .engine import (DEFAULT_CHUNK_BYTES, DEFAULT_CHUNK_ROWS,
+                             FLAT_SEP, _has_structs, done_buckets)
+        self.out_dir = options.get("path")
+        if not self.out_dir:
+            raise ValueError(
+                "dumpster sink requires .option('path', out_dir) or "
+                ".save(out_dir)")
+        if _has_structs(schema):
+            raise ValueError(
+                "struct-typed columns are not supported on the df.write "
+                "path (no flattening here); use dumpster.engine."
+                "encode_table, which flattens and records the logical "
+                "schema")
+        if any(FLAT_SEP in f.name for f in schema.fields):
+            raise ValueError(
+                f"column names containing {FLAT_SEP!r} collide with the "
+                f"struct-flattening separator; rename before writing")
+        self.bucket_col = options.get("bucket_col")
+        reserved = {"__bucket", "__host"} - {self.bucket_col}
+        clash = reserved & {f.name for f in schema.fields}
+        if clash:
+            raise ValueError(
+                f"column name(s) {sorted(clash)} are reserved by the "
+                f"encode pipeline; rename them or pass "
+                f".option('bucket_col', ...) to claim one as routing")
+        if self.bucket_col is not None \
+                and self.bucket_col not in {f.name for f in schema.fields}:
+            raise ValueError(f"bucket_col {self.bucket_col!r} is not a "
+                             f"column of the frame being written")
+        self.chunk_rows = int(options.get("chunk_rows", DEFAULT_CHUNK_ROWS))
+        self.chunk_bytes = int(options.get("chunk_bytes",
+                                           DEFAULT_CHUNK_BYTES))
+        self.allow_zlib = str(options.get("allow_zlib",
+                                          "true")).lower() != "false"
+        self.table_id = options.get("table_id") or os.path.basename(
+            os.path.normpath(self.out_dir))
+        self.payload_schema = StructType(
+            [f for f in schema.fields if f.name != self.bucket_col])
+        if overwrite:
+            _truncate_store(self.out_dir)
+        os.makedirs(os.path.join(self.out_dir, "chunks"), exist_ok=True)
+        os.makedirs(os.path.join(self.out_dir, "manifest"), exist_ok=True)
+        # appends land in fresh bucket ids past the committed max, so they
+        # never collide with chunks of completed buckets
+        self.bucket_base = 0
+        if self.bucket_col is None:
+            done = done_buckets(self.out_dir)
+            self.bucket_base = (max(done) + 1) if done else 0
+
+    # executor-side ---------------------------------------------------------
+
+    def write(self, iterator) -> DumpsterCommitMessage:
+        import numpy as np
+        from pyspark import TaskContext
+        from .engine import _make_encoder
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else 0
+        bucket = self.bucket_base + pid
+
+        def routed(batches):
+            for b in batches:
+                if self.bucket_col is not None:
+                    if self.bucket_col != "__bucket":
+                        idx = b.schema.get_field_index(self.bucket_col)
+                        col = b.column(idx)
+                        b = b.remove_column(idx).append_column("__bucket",
+                                                               col)
+                else:
+                    b = b.append_column("__bucket", pa.array(
+                        np.full(b.num_rows, bucket, dtype=np.int32)))
+                yield b
+
+        # sorted_input=False: a hand-bucketed frame need not arrive
+        # bucket-contiguous, and reopening a closed bucket would restart
+        # chunk_seq at 0 (name collision); deferred finalisation keeps one
+        # monotone seq per bucket per task
+        encoder = _make_encoder(self.out_dir, self.table_id,
+                                self.chunk_rows, self.chunk_bytes,
+                                self.allow_zlib, frozenset(),
+                                sorted_input=False,
+                                publish_manifest=False)
+        rows: list = []
+        for mb in encoder(routed(iterator)):
+            rows.extend(mb.to_pylist())
+        return DumpsterCommitMessage(rows, pid)
+
+    # driver-side commit protocol ------------------------------------------
+
+    def commit(self, messages) -> None:
+        import pyarrow.parquet as pq
+        from .engine import (_MANIFEST_ARROW, _fs_write_atomic,
+                             _manifest_path, _publish_table_schema)
+        by_bucket: dict[int, list] = {}
+        owner: dict[int, int] = {}
+        for m in messages:
+            if m is None:
+                continue
+            for r in m.rows:
+                b = int(r["bucket"])
+                prev = owner.setdefault(b, m.partition_id)
+                if prev != m.partition_id:
+                    raise RuntimeError(
+                        f"bucket {b} received chunks from two write tasks "
+                        f"({prev} and {m.partition_id}): the input is not "
+                        f"partitioned by {self.bucket_col!r} and chunk "
+                        f"names may have collided. Nothing was published "
+                        f"(no manifests written); repartition by the "
+                        f"bucket column — pipeline.prep_for_encode does "
+                        f"this — and rewrite.")
+                by_bucket.setdefault(b, []).append(r)
+        # schema first (create-or-evolve under the store lock), then the
+        # per-bucket manifests: a reader never sees a manifest row whose
+        # columns the stored schema cannot describe
+        _publish_table_schema(self.out_dir, self.payload_schema)
+        for b, rows in sorted(by_bucket.items()):
+            rows.sort(key=lambda r: int(r["chunk_seq"]))
+            mb = pa.RecordBatch.from_pylist(rows, schema=_MANIFEST_ARROW)
+            sink = pa.BufferOutputStream()
+            pq.write_table(pa.Table.from_batches([mb]), sink)
+            _fs_write_atomic(_manifest_path(self.out_dir, b),
+                             sink.getvalue().to_pybytes())
+
+    def abort(self, messages) -> None:
+        # chunks are invisible without manifests; deleting reported ones is
+        # a courtesy, clean_orphans handles the rest (failed tasks report
+        # no message)
+        for m in messages:
+            if m is None:
+                continue
+            for r in m.rows:
+                try:
+                    os.remove(r["file"])
+                except OSError:
+                    pass
+
+
+def _truncate_store(out_dir: str) -> None:
+    """Static-overwrite truncation: drop chunks, manifests and schema
+    history so the store is reborn with the incoming frame's schema."""
+    import shutil
+    for sub in ("chunks", "manifest"):
+        shutil.rmtree(os.path.join(out_dir, sub), ignore_errors=True)
+    if os.path.isdir(out_dir):
+        for f in os.listdir(out_dir):
+            if (f.startswith("_schema") and f.endswith(".json")) \
+                    or f in ("_logical_schema.json", "_hour_buckets.json"):
+                try:
+                    os.remove(os.path.join(out_dir, f))
+                except OSError:
+                    pass
 
 
 def _as_bytes(v) -> bytes:

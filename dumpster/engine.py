@@ -150,7 +150,8 @@ def _make_encoder(out_dir: str, table_id: str, chunk_rows: int,
                   chunk_bytes: int, allow_zlib: bool, skip: frozenset,
                   sorted_input: bool = True,
                   bucket_subdirs: dict | None = None,
-                  fs=None):
+                  fs=None,
+                  publish_manifest: bool = True):
     """Per-task encoder over Arrow batches.
 
     Buckets need not be contiguous: state is kept per bucket, chunks flush
@@ -234,11 +235,16 @@ def _make_encoder(out_dir: str, table_id: str, chunk_rows: int,
             mb = pa.RecordBatch.from_pylist(st["rows_out"],
                                             schema=_MANIFEST_ARROW)
             # manifest is the commit record: written only after every chunk
-            # of the bucket is durably renamed (crash-consistency contract)
-            sink = pa.BufferOutputStream()
-            pq.write_table(pa.Table.from_batches([mb]), sink)
-            _fs_write_atomic(_manifest_path(out_dir, bucket),
-                             sink.getvalue().to_pybytes(), fs)
+            # of the bucket is durably renamed (crash-consistency contract).
+            # publish_manifest=False defers it to a job-level committer
+            # (the df.write DataSource path, where Spark's commit protocol
+            # owns the publish step) — chunks without a manifest stay
+            # invisible to every reader and are clean_orphans fodder.
+            if publish_manifest:
+                sink = pa.BufferOutputStream()
+                pq.write_table(pa.Table.from_batches([mb]), sink)
+                _fs_write_atomic(_manifest_path(out_dir, bucket),
+                                 sink.getvalue().to_pybytes(), fs)
             return mb
 
         last_bucket = None

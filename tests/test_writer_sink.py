@@ -1,0 +1,184 @@
+"""df.write.format("dumpster") — the engine as a Spark batch sink.
+
+Semantics under test:
+* roundtrip: written store decodes bit-identically via BOTH front doors
+  (spark.read.format("dumpster") and engine.decode_table),
+* commit protocol: no manifest becomes visible until the job commits —
+  a task failure mid-job leaves a reader-invisible store,
+* append allocates fresh bucket ids past the committed max (no chunk
+  collisions), overwrite truncates including schema history,
+* schema evolution on append (new column null-fills on old chunks),
+* bucket_col mode consumes a prep_for_encode frame (salted host layout
+  through the write API), and commit() refuses hand-bucketed input that
+  was not partitioned by the bucket column,
+* guard rails: reserved names, struct columns, unknown bucket_col.
+
+Reference parity: the commit ordering (chunks durable, then the manifest
+flip) is the reference's data-upload-before-offset-commit contract,
+HourlyBasedPartitioner.java:160-182 → TopicStreamer.java:65, expressed
+through Spark's V2 writer commit protocol.
+"""
+
+import os
+
+import pytest
+import pyspark.sql.functions as F
+
+from dumpster import pipeline
+from dumpster.datasource import register_dumpster_source
+from dumpster.engine import decode_table, done_buckets, read_manifest, \
+    table_schema
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    register_dumpster_source(spark)
+
+
+def _docs(spark):
+    return spark.read.parquet(DOCS)
+
+
+def test_roundtrip_both_front_doors(spark, tmp_path):
+    out = str(tmp_path / "w1")
+    df = _docs(spark)
+    df.write.format("dumpster").mode("append").save(out)
+    via_ds = spark.read.format("dumpster").option("path", out).load()
+    assert via_ds.exceptAll(df).count() == 0
+    assert df.exceptAll(via_ds).count() == 0
+    via_engine = decode_table(spark, out)
+    assert via_engine.exceptAll(df).count() == 0
+    assert df.exceptAll(via_engine).count() == 0
+
+
+def test_append_fresh_buckets_and_counts(spark, tmp_path):
+    out = str(tmp_path / "w2")
+    df = _docs(spark)
+    df.write.format("dumpster").mode("append").save(out)
+    first = set(done_buckets(out))
+    df.write.format("dumpster").mode("append").save(out)
+    second = set(done_buckets(out)) - first
+    assert first and second and not (first & second)
+    got = spark.read.format("dumpster").option("path", out).load()
+    assert got.count() == 2 * df.count()
+
+
+def test_overwrite_truncates_store_and_schema(spark, tmp_path):
+    out = str(tmp_path / "w3")
+    _docs(spark).write.format("dumpster").mode("append").save(out)
+    # type change is allowed across overwrite (schema history is wiped)...
+    narrow = _docs(spark).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "lang")
+    narrow.write.format("dumpster").mode("overwrite").save(out)
+    got = spark.read.format("dumpster").option("path", out).load()
+    assert got.columns == ["doc_id", "lang"]
+    assert got.count() == narrow.count()
+    assert [f.dataType.simpleString() for f in table_schema(out).fields] \
+        == ["string", "string"]
+    # ...but refused on append (add-only evolution, engine parity)
+    bad = _docs(spark).select(F.col("doc_id").cast("double").alias("doc_id"))
+    with pytest.raises(Exception, match="only adding columns"):
+        bad.write.format("dumpster").mode("append").save(out)
+
+
+def test_append_evolves_schema(spark, tmp_path):
+    out = str(tmp_path / "w4")
+    df = _docs(spark)
+    df.select("doc_id", "lang").write.format("dumpster") \
+        .mode("append").save(out)
+    df.select("doc_id", "lang", "n_chars").write.format("dumpster") \
+        .mode("append").save(out)
+    got = spark.read.format("dumpster").option("path", out).load()
+    assert set(got.columns) == {"doc_id", "lang", "n_chars"}
+    # old-generation rows null-fill the evolved column
+    assert got.filter(F.col("n_chars").isNull()).count() == df.count()
+    assert got.filter(F.col("n_chars").isNotNull()).count() == df.count()
+
+
+def test_bucket_col_salted_layout(spark, tmp_path):
+    out = str(tmp_path / "w5")
+    pages = spark.range(0, 600).select(
+        F.concat(F.lit("https://h"), (F.col("id") % 7).cast("string"),
+                 F.lit(".example.com/p"), F.col("id").cast("string"))
+        .alias("url"),
+        F.col("id").alias("doc_id"))
+    prepped = pipeline.prep_for_encode(pages, "url", n_buckets=8, salt_k=2)
+    prepped.write.format("dumpster").option("path", out) \
+        .option("bucket_col", "__bucket").mode("append").save()
+    got = spark.read.format("dumpster").option("path", out).load()
+    assert set(got.columns) == {"url", "doc_id"}  # routing col not stored
+    assert got.exceptAll(pages).count() == 0
+    assert pages.exceptAll(got).count() == 0
+    assert set(done_buckets(out)) <= set(range(8))
+
+
+def test_bucket_col_unpartitioned_refused(spark, tmp_path):
+    out = str(tmp_path / "w6")
+    # bucket constant 0 across MANY input partitions, never repartitioned:
+    # every task claims bucket 0 → commit must refuse before publishing
+    df = (spark.range(0, 64, numPartitions=8)
+          .select(F.col("id").alias("doc_id"),
+                  F.lit(0).cast("int").alias("b")))
+    with pytest.raises(Exception, match="two write tasks"):
+        df.write.format("dumpster").option("path", out) \
+            .option("bucket_col", "b").mode("append").save()
+    # nothing became visible: no manifests, reader sees an empty table
+    assert done_buckets(out) == set()
+
+
+def test_task_failure_leaves_store_invisible(spark, tmp_path):
+    out = str(tmp_path / "w7")
+    _docs(spark).limit(50).write.format("dumpster").mode("append").save(out)
+    visible_before = set(done_buckets(out))
+
+    @F.udf("long")
+    def poison(v):
+        if v is None:
+            raise RuntimeError("poison row")
+        return v
+
+    bad = _docs(spark).withColumn(
+        "n_chars",
+        poison(F.when(F.col("doc_id") % 97 == 3, None)
+               .otherwise(F.col("n_chars"))))
+    with pytest.raises(Exception):
+        bad.write.format("dumpster").mode("append").save(out)
+    # the failed job published nothing — the committed store is unchanged
+    assert set(done_buckets(out)) == visible_before
+    got = spark.read.format("dumpster").option("path", out).load()
+    assert got.count() == 50
+    mf = read_manifest(spark, out)
+    assert mf.filter(~F.col("bucket").isin(
+        [int(b) for b in visible_before])).count() == 0
+
+
+def test_guard_rails(spark, tmp_path):
+    out = str(tmp_path / "w8")
+    df = _docs(spark).withColumn("__bucket", F.lit(1))
+    with pytest.raises(Exception, match="reserved"):
+        df.write.format("dumpster").mode("append").save(out)
+    nested = _docs(spark).select(
+        "doc_id", F.struct("lang", "n_chars").alias("meta"))
+    with pytest.raises(Exception, match="struct"):
+        nested.write.format("dumpster").mode("append").save(out)
+    with pytest.raises(Exception, match="not a column"):
+        _docs(spark).write.format("dumpster") \
+            .option("bucket_col", "nope").mode("append").save(out)
+    assert not os.path.exists(os.path.join(out, "manifest")) \
+        or done_buckets(out) == set()
+
+
+def test_written_store_supports_pushdown(spark, tmp_path):
+    out = str(tmp_path / "w9")
+    df = _docs(spark).orderBy("doc_id")
+    df.coalesce(1).write.format("dumpster") \
+        .option("chunk_rows", "64").mode("append").save(out)
+    view = spark.read.format("dumpster").option("path", out).load()
+    view.createOrReplaceTempView("writer_docs")
+    got = spark.sql("SELECT doc_id, lang FROM writer_docs "
+                    "WHERE doc_id BETWEEN 40 AND 80 ORDER BY doc_id")
+    want = df.filter(F.col("doc_id").between(40, 80)) \
+        .select("doc_id", "lang").orderBy("doc_id")
+    assert got.collect() == want.collect()
