@@ -43,6 +43,7 @@ import pyarrow as pa
 
 from pyspark.sql.datasource import (DataSource, DataSourceArrowWriter,
                                     DataSourceReader,
+                                    DataSourceStreamArrowWriter,
                                     EqualNullSafe, EqualTo, GreaterThan,
                                     GreaterThanOrEqual, In, InputPartition,
                                     IsNotNull, IsNull, LessThan,
@@ -94,6 +95,10 @@ class DumpsterDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> "DumpsterWriter":
         return DumpsterWriter(dict(self.options), schema, overwrite)
+
+    def streamWriter(self, schema: StructType,  # noqa: N802 (Spark API name)
+                     overwrite: bool) -> "DumpsterStreamWriter":
+        return DumpsterStreamWriter(dict(self.options), schema)
 
 
 class DumpsterReader(DataSourceReader):
@@ -360,44 +365,8 @@ class DumpsterWriter(DataSourceArrowWriter):
     """
 
     def __init__(self, options: dict, schema: StructType, overwrite: bool):
-        from .engine import (DEFAULT_CHUNK_BYTES, DEFAULT_CHUNK_ROWS,
-                             FLAT_SEP, _has_structs, done_buckets)
-        self.out_dir = options.get("path")
-        if not self.out_dir:
-            raise ValueError(
-                "dumpster sink requires .option('path', out_dir) or "
-                ".save(out_dir)")
-        if _has_structs(schema):
-            raise ValueError(
-                "struct-typed columns are not supported on the df.write "
-                "path (no flattening here); use dumpster.engine."
-                "encode_table, which flattens and records the logical "
-                "schema")
-        if any(FLAT_SEP in f.name for f in schema.fields):
-            raise ValueError(
-                f"column names containing {FLAT_SEP!r} collide with the "
-                f"struct-flattening separator; rename before writing")
-        self.bucket_col = options.get("bucket_col")
-        reserved = {"__bucket", "__host"} - {self.bucket_col}
-        clash = reserved & {f.name for f in schema.fields}
-        if clash:
-            raise ValueError(
-                f"column name(s) {sorted(clash)} are reserved by the "
-                f"encode pipeline; rename them or pass "
-                f".option('bucket_col', ...) to claim one as routing")
-        if self.bucket_col is not None \
-                and self.bucket_col not in {f.name for f in schema.fields}:
-            raise ValueError(f"bucket_col {self.bucket_col!r} is not a "
-                             f"column of the frame being written")
-        self.chunk_rows = int(options.get("chunk_rows", DEFAULT_CHUNK_ROWS))
-        self.chunk_bytes = int(options.get("chunk_bytes",
-                                           DEFAULT_CHUNK_BYTES))
-        self.allow_zlib = str(options.get("allow_zlib",
-                                          "true")).lower() != "false"
-        self.table_id = options.get("table_id") or os.path.basename(
-            os.path.normpath(self.out_dir))
-        self.payload_schema = StructType(
-            [f for f in schema.fields if f.name != self.bucket_col])
+        from .engine import done_buckets
+        _init_writer_common(self, options, schema)
         if overwrite:
             _truncate_store(self.out_dir)
         os.makedirs(os.path.join(self.out_dir, "chunks"), exist_ok=True)
@@ -412,88 +381,207 @@ class DumpsterWriter(DataSourceArrowWriter):
     # executor-side ---------------------------------------------------------
 
     def write(self, iterator) -> DumpsterCommitMessage:
-        import numpy as np
-        from pyspark import TaskContext
-        from .engine import _make_encoder
-        tc = TaskContext.get()
-        pid = tc.partitionId() if tc is not None else 0
-        bucket = self.bucket_base + pid
-
-        def routed(batches):
-            for b in batches:
-                if self.bucket_col is not None:
-                    if self.bucket_col != "__bucket":
-                        idx = b.schema.get_field_index(self.bucket_col)
-                        col = b.column(idx)
-                        b = b.remove_column(idx).append_column("__bucket",
-                                                               col)
-                else:
-                    b = b.append_column("__bucket", pa.array(
-                        np.full(b.num_rows, bucket, dtype=np.int32)))
-                yield b
-
-        # sorted_input=False: a hand-bucketed frame need not arrive
-        # bucket-contiguous, and reopening a closed bucket would restart
-        # chunk_seq at 0 (name collision); deferred finalisation keeps one
-        # monotone seq per bucket per task
-        encoder = _make_encoder(self.out_dir, self.table_id,
-                                self.chunk_rows, self.chunk_bytes,
-                                self.allow_zlib, frozenset(),
-                                sorted_input=False,
-                                publish_manifest=False)
-        rows: list = []
-        for mb in encoder(routed(iterator)):
-            rows.extend(mb.to_pylist())
-        return DumpsterCommitMessage(rows, pid)
+        return _encode_task(self, iterator, self.out_dir, self.bucket_base)
 
     # driver-side commit protocol ------------------------------------------
 
     def commit(self, messages) -> None:
-        import pyarrow.parquet as pq
-        from .engine import (_MANIFEST_ARROW, _fs_write_atomic,
-                             _manifest_path, _publish_table_schema)
-        by_bucket: dict[int, list] = {}
-        owner: dict[int, int] = {}
-        for m in messages:
-            if m is None:
-                continue
-            for r in m.rows:
-                b = int(r["bucket"])
-                prev = owner.setdefault(b, m.partition_id)
-                if prev != m.partition_id:
-                    raise RuntimeError(
-                        f"bucket {b} received chunks from two write tasks "
-                        f"({prev} and {m.partition_id}): the input is not "
-                        f"partitioned by {self.bucket_col!r} and chunk "
-                        f"names may have collided. Nothing was published "
-                        f"(no manifests written); repartition by the "
-                        f"bucket column — pipeline.prep_for_encode does "
-                        f"this — and rewrite.")
-                by_bucket.setdefault(b, []).append(r)
-        # schema first (create-or-evolve under the store lock), then the
-        # per-bucket manifests: a reader never sees a manifest row whose
-        # columns the stored schema cannot describe
-        _publish_table_schema(self.out_dir, self.payload_schema)
-        for b, rows in sorted(by_bucket.items()):
-            rows.sort(key=lambda r: int(r["chunk_seq"]))
-            mb = pa.RecordBatch.from_pylist(rows, schema=_MANIFEST_ARROW)
-            sink = pa.BufferOutputStream()
-            pq.write_table(pa.Table.from_batches([mb]), sink)
-            _fs_write_atomic(_manifest_path(self.out_dir, b),
-                             sink.getvalue().to_pybytes())
+        _publish_batch(self.out_dir, messages, self.bucket_col,
+                       self.payload_schema)
 
     def abort(self, messages) -> None:
-        # chunks are invisible without manifests; deleting reported ones is
-        # a courtesy, clean_orphans handles the rest (failed tasks report
-        # no message)
+        _delete_reported_chunks(messages)
+
+
+class DumpsterStreamWriter(DataSourceStreamArrowWriter):
+    """``df.writeStream.format("dumpster")`` — the reference's ACTUAL job
+    shape (an unbounded Kafka consumer feeding a columnar sink,
+    TopicStreamer.java:46-74) as a native Structured Streaming sink.
+
+    Layout matches streaming.encode_stream exactly — each micro-batch is
+    its own ``batch=N`` store — so decode_stream_table / stream_manifest
+    / compact_stream all work unchanged on the output.  The improvement
+    over the foreachBatch path is batch-atomic visibility: chunks are
+    written task-side, but ALL of a batch's manifests are published by
+    ``commit(batchId)`` on the driver, so a reader never sees a
+    half-written micro-batch (foreachBatch publishes per-bucket as tasks
+    finish).  A replayed batch (crash between tasks and checkpoint
+    commit) re-encodes the same rows to the same deterministic names and
+    republishes — idempotent, the engine's standard resume story.
+
+    The task learns its micro-batch from the ``streaming.sql.batchId``
+    task-local property (set by Spark's MicroBatchExecution and verified
+    against the ``batchId`` passed to commit).  Same options as the batch
+    writer minus ``bucket_col`` (bucket = task partition id within the
+    batch namespace; repartition upstream to shape tasks).
+    """
+
+    def __init__(self, options: dict, schema: StructType):
+        _init_writer_common(self, options, schema)
+        if self.bucket_col is not None:
+            raise ValueError(
+                "bucket_col is not supported on the streaming sink "
+                "(bucket = task partition within each batch=N namespace); "
+                "repartition the stream upstream to shape write tasks")
+        self.out_root = self.out_dir
+
+    @staticmethod
+    def _batch_dir(root: str, batch_id: int) -> str:
+        return os.path.join(root, f"batch={batch_id:06d}")
+
+    def write(self, iterator) -> DumpsterCommitMessage:
+        from pyspark import TaskContext
+        tc = TaskContext.get()
+        bid = tc.getLocalProperty("streaming.sql.batchId") \
+            if tc is not None else None
+        if bid is None:
+            raise RuntimeError(
+                "streaming.sql.batchId task property missing: the "
+                "dumpster stream sink requires micro-batch execution "
+                "(it is unset under continuous processing)")
+        msg = _encode_task(self, iterator,
+                           self._batch_dir(self.out_root, int(bid)), 0)
+        msg.batch_id = int(bid)
+        return msg
+
+    def commit(self, messages, batchId: int) -> None:  # noqa: N803
         for m in messages:
-            if m is None:
-                continue
-            for r in m.rows:
-                try:
-                    os.remove(r["file"])
-                except OSError:
-                    pass
+            if m is not None and getattr(m, "batch_id", batchId) != batchId:
+                raise RuntimeError(
+                    f"task wrote into batch={m.batch_id} but the driver is "
+                    f"committing batch={batchId}; refusing to publish")
+        target = self._batch_dir(self.out_root, batchId)
+        if any(m is not None and m.rows for m in messages):
+            _publish_batch(target, messages, None, self.payload_schema)
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: N803
+        _delete_reported_chunks(messages)
+
+
+def _init_writer_common(w, options: dict, schema: StructType) -> None:
+    """Shared option parsing + guard rails for the batch and stream sinks
+    (runs on the driver at writer construction)."""
+    from .engine import (DEFAULT_CHUNK_BYTES, DEFAULT_CHUNK_ROWS,
+                         FLAT_SEP, _has_structs)
+    w.out_dir = options.get("path")
+    if not w.out_dir:
+        raise ValueError("dumpster sink requires .option('path', out_dir) "
+                         "or .save(out_dir)")
+    if _has_structs(schema):
+        raise ValueError(
+            "struct-typed columns are not supported on the df.write path "
+            "(no flattening here); use dumpster.engine.encode_table, "
+            "which flattens and records the logical schema")
+    if any(FLAT_SEP in f.name for f in schema.fields):
+        raise ValueError(
+            f"column names containing {FLAT_SEP!r} collide with the "
+            f"struct-flattening separator; rename before writing")
+    w.bucket_col = options.get("bucket_col")
+    reserved = {"__bucket", "__host"} - {w.bucket_col}
+    clash = reserved & {f.name for f in schema.fields}
+    if clash:
+        raise ValueError(
+            f"column name(s) {sorted(clash)} are reserved by the encode "
+            f"pipeline; rename them or pass .option('bucket_col', ...) "
+            f"to claim one as routing")
+    if w.bucket_col is not None \
+            and w.bucket_col not in {f.name for f in schema.fields}:
+        raise ValueError(f"bucket_col {w.bucket_col!r} is not a column of "
+                         f"the frame being written")
+    w.chunk_rows = int(options.get("chunk_rows", DEFAULT_CHUNK_ROWS))
+    w.chunk_bytes = int(options.get("chunk_bytes", DEFAULT_CHUNK_BYTES))
+    w.allow_zlib = str(options.get("allow_zlib", "true")).lower() != "false"
+    w.table_id = options.get("table_id") or os.path.basename(
+        os.path.normpath(w.out_dir))
+    w.payload_schema = StructType(
+        [f for f in schema.fields if f.name != w.bucket_col])
+
+
+def _encode_task(w, iterator, out_dir: str, bucket_base: int) \
+        -> DumpsterCommitMessage:
+    """Executor-side half of both sinks: encode Arrow batches into durable
+    chunk files under ``out_dir`` WITHOUT publishing manifests."""
+    import numpy as np
+    from pyspark import TaskContext
+    from .engine import _make_encoder
+    tc = TaskContext.get()
+    pid = tc.partitionId() if tc is not None else 0
+    bucket = bucket_base + pid
+
+    def routed(batches):
+        for b in batches:
+            if w.bucket_col is not None:
+                if w.bucket_col != "__bucket":
+                    idx = b.schema.get_field_index(w.bucket_col)
+                    col = b.column(idx)
+                    b = b.remove_column(idx).append_column("__bucket", col)
+            else:
+                b = b.append_column("__bucket", pa.array(
+                    np.full(b.num_rows, bucket, dtype=np.int32)))
+            yield b
+
+    # sorted_input=False: a hand-bucketed frame need not arrive
+    # bucket-contiguous, and reopening a closed bucket would restart
+    # chunk_seq at 0 (name collision); deferred finalisation keeps one
+    # monotone seq per bucket per task
+    encoder = _make_encoder(out_dir, w.table_id, w.chunk_rows,
+                            w.chunk_bytes, w.allow_zlib, frozenset(),
+                            sorted_input=False, publish_manifest=False)
+    rows: list = []
+    for mb in encoder(routed(iterator)):
+        rows.extend(mb.to_pylist())
+    return DumpsterCommitMessage(rows, pid)
+
+
+def _publish_batch(out_dir: str, messages, bucket_col,
+                   payload_schema: StructType) -> None:
+    """Driver-side committer shared by both sinks: schema first
+    (create-or-evolve under the store lock), then the per-bucket
+    manifests — a reader never sees a manifest row whose columns the
+    stored schema cannot describe, and nothing at all until commit."""
+    import pyarrow.parquet as pq
+    from .engine import (_MANIFEST_ARROW, _fs_write_atomic, _manifest_path,
+                         _publish_table_schema)
+    by_bucket: dict[int, list] = {}
+    owner: dict[int, int] = {}
+    for m in messages:
+        if m is None:
+            continue
+        for r in m.rows:
+            b = int(r["bucket"])
+            prev = owner.setdefault(b, m.partition_id)
+            if prev != m.partition_id:
+                raise RuntimeError(
+                    f"bucket {b} received chunks from two write tasks "
+                    f"({prev} and {m.partition_id}): the input is not "
+                    f"partitioned by {bucket_col!r} and chunk names may "
+                    f"have collided. Nothing was published (no manifests "
+                    f"written); repartition by the bucket column — "
+                    f"pipeline.prep_for_encode does this — and rewrite.")
+            by_bucket.setdefault(b, []).append(r)
+    os.makedirs(os.path.join(out_dir, "manifest"), exist_ok=True)
+    _publish_table_schema(out_dir, payload_schema)
+    for b, rows in sorted(by_bucket.items()):
+        rows.sort(key=lambda r: int(r["chunk_seq"]))
+        mb = pa.RecordBatch.from_pylist(rows, schema=_MANIFEST_ARROW)
+        sink = pa.BufferOutputStream()
+        pq.write_table(pa.Table.from_batches([mb]), sink)
+        _fs_write_atomic(_manifest_path(out_dir, b),
+                         sink.getvalue().to_pybytes())
+
+
+def _delete_reported_chunks(messages) -> None:
+    # chunks are invisible without manifests; deleting reported ones is a
+    # courtesy, clean_orphans handles the rest (failed tasks report no
+    # message)
+    for m in messages:
+        if m is None:
+            continue
+        for r in m.rows:
+            try:
+                os.remove(r["file"])
+            except OSError:
+                pass
 
 
 def _truncate_store(out_dir: str) -> None:

@@ -1,0 +1,104 @@
+"""df.writeStream.format("dumpster") — the V2 streaming sink.
+
+Contract under test:
+* each micro-batch lands as its own ``batch=N`` store (the
+  encode_stream layout), decodable with decode_stream_table and
+  foldable with compact_stream,
+* batch-atomic visibility: manifests appear only via commit(batchId),
+* the task-side batch id (streaming.sql.batchId property) matches the
+  committed batchId — chunks never cross batch namespaces,
+* restart with new input appends new batch dirs, committed ones are
+  untouched (checkpointed exactly-once).
+"""
+
+import os
+
+import pytest
+import pyspark.sql.functions as F
+
+from dumpster.datasource import register_dumpster_source
+from dumpster.engine import done_buckets
+from dumpster.streaming import batch_dirs, compact_stream, \
+    decode_stream_table, stream_manifest
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    register_dumpster_source(spark)
+
+
+def _write_batch_files(spark, src, lo, hi):
+    (spark.range(lo, hi)
+     .select(F.col("id").alias("doc_id"),
+             (F.col("id") % 5).cast("string").alias("lang"),
+             F.concat(F.lit("body "), F.col("id").cast("string"))
+             .alias("text"))
+     .coalesce(1).write.mode("append").parquet(src))
+
+
+def test_stream_sink_roundtrip_and_layout(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_batch_files(spark, src, 0, 300)
+    _write_batch_files(spark, src, 300, 500)
+
+    stream = (spark.readStream
+              .schema("doc_id long, lang string, text string")
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = (stream.writeStream.format("dumpster")
+         .option("path", out).option("chunk_rows", "128")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    dirs = batch_dirs(out)
+    assert len(dirs) == 2                      # one store per micro-batch
+    for d in dirs:
+        assert done_buckets(d)                 # manifests were committed
+        assert os.path.exists(os.path.join(d, "_schema.json"))
+
+    got = decode_stream_table(spark, out)
+    want = spark.read.parquet(src)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # lineage rows carry the batch id (stream_manifest contract)
+    assert set(r.batch_id for r in
+               stream_manifest(spark, out).select("batch_id")
+               .distinct().collect()) == {0, 1}
+
+    # restart with NEW input: committed batches untouched, new batch added
+    _write_batch_files(spark, src, 500, 600)
+    q2 = (spark.readStream
+          .schema("doc_id long, lang string, text string")
+          .option("maxFilesPerTrigger", "1").parquet(src)
+          .writeStream.format("dumpster")
+          .option("path", out).option("chunk_rows", "128")
+          .option("checkpointLocation", ckpt)
+          .trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+    assert len(batch_dirs(out)) == 3
+    assert decode_stream_table(spark, out).count() == 600
+
+    # the stream layout feeds compact_stream unchanged
+    dst = str(tmp_path / "compacted")
+    compact_stream(spark, out, dst, n_buckets=4, chunk_rows=4096,
+                   mode="local")
+    from dumpster.engine import decode_table
+    folded = decode_table(spark, dst)
+    assert folded.count() == 600
+    assert folded.exceptAll(spark.read.parquet(src)).count() == 0
+
+
+def test_stream_sink_rejects_bucket_col(spark, tmp_path):
+    src = str(tmp_path / "s2")
+    _write_batch_files(spark, src, 0, 10)
+    stream = (spark.readStream
+              .schema("doc_id long, lang string, text string").parquet(src))
+    with pytest.raises(Exception, match="bucket_col"):
+        q = (stream.writeStream.format("dumpster")
+             .option("path", str(tmp_path / "o2"))
+             .option("bucket_col", "lang")
+             .option("checkpointLocation", str(tmp_path / "c2"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(60)
