@@ -221,6 +221,27 @@ def main():
             timings[label] = best
         floor_scan = timings["floor_scan_passthrough"]
         floor_shuffled = timings["floor_shuffled_passthrough"]
+
+    # native sink front door (df.write.format("dumpster")): local-mode
+    # semantics through Spark's V2 commit protocol — measured so the
+    # idiomatic write path's overhead vs encode_table(mode="local")
+    # (task-count difference + driver-side manifest publish at commit)
+    # stays visible round over round
+    if not minimal:
+        from dumpster.datasource import register_dumpster_source
+        register_dumpster_source(spark)
+        best = None
+        for _ in range(2):
+            sink_root = tempfile.mkdtemp(prefix="dumpster_bench_sink_")
+            t0 = time.perf_counter()
+            (pages.write.format("dumpster")
+             .option("chunk_rows", "65536")
+             .option("table_id", "bench_pages_sink")
+             .mode("append").save(os.path.join(sink_root, "t")))
+            w = time.perf_counter() - t0
+            best = w if best is None else min(best, w)
+            shutil.rmtree(sink_root, ignore_errors=True)
+        timings["encode_pages_sink"] = best
     enc_bytes = int(s["encoded_bytes"])
 
     # --- representative operator queries on the driver sf tables ------------
