@@ -703,6 +703,14 @@ def q_embeddings_roundtrip(spark, sf):
                                  "missing_rows long, extra_rows long")
 
 
+def q_repetition_signals(spark, sf):
+    """Gopher-style repetition quality signals (textops.repetition_signals)
+    over the documents table — the dominant low-quality-document class in
+    web crawls; per-row Column expressions for the n-gram legs plus one
+    map-side-combinable word-count aggregation."""
+    return textops.repetition_signals(_t(spark, sf, "documents"))
+
+
 def q_writer_sink_roundtrip(spark, sf):
     """The df.write front door: two appends through Spark's V2 commit
     protocol (chunks task-side, manifests published by the driver
@@ -770,6 +778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_prefix_scan": q_url_prefix_scan,
         "compact_stream_roundtrip": q_compact_stream_roundtrip,
         "writer_sink_roundtrip": q_writer_sink_roundtrip,
+        "repetition_signals": q_repetition_signals,
         "catalog_restore": q_catalog_restore,
         "schema_evolution_store": q_schema_evolution_store,
         "multischema_routing": q_multischema_routing,
@@ -934,6 +943,7 @@ def oracle_sql() -> dict[str, str]:
             FROM reach GROUP BY id
         """,
         "lang_id": textops.lang_id_sql(),
+        "repetition_signals": textops.repetition_signals_sql(),
         "quality_scores": """
             SELECT doc_id,
                    CAST(length(text) AS BIGINT) AS n_chars,

@@ -253,6 +253,76 @@ def _simhash_one(s) -> int:
     return int(np.int64(sig.astype(np.int64)))
 
 
+def repetition_signals(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021, §A1.1:
+    repetitious documents are the dominant low-quality class in web
+    crawls; the reference has no content filtering at all — this is part
+    of the training-data family layered on the engine).
+
+    Per document: ``n_words``, ``distinct_word_ratio`` (vocabulary
+    diversity), ``top_word_frac`` (mass of the single most frequent
+    word — Gopher rejects > 0.2 at the 2-gram analog), and
+    ``dup_trigram_frac`` (fraction of word 3-grams that are repeats —
+    Gopher's duplicate-n-gram rule).
+
+    Scale shape: the trigram and distinct-ratio legs are pure per-row
+    Column expressions (no shuffle, whole-stage codegen); the top-word
+    leg is one explode → two-level groupBy keyed by (doc, word) then
+    doc — both map-side combinable, the minhash-shingle shuffle shape.
+    No Python anywhere.
+    """
+    t = F.split(F.col(text_col), " ")
+    base = df.select(F.col(id_col), t.alias("__t"))
+    per_row = base.select(
+        id_col,
+        F.size("__t").alias("n_words"),
+        (F.size(F.array_distinct("__t")) / F.size("__t"))
+        .alias("distinct_word_ratio"),
+        F.when(F.size("__t") >= 3,
+               F.lit(1.0)
+               - F.size(F.array_distinct(F.expr(
+                   "transform(sequence(0, size(__t)-3), "
+                   "i -> concat_ws(' ', slice(__t, i+1, 3)))")))
+               / (F.size("__t") - F.lit(2)))
+        .otherwise(F.lit(0.0)).alias("dup_trigram_frac"))
+    top = (base.select(id_col, F.explode("__t").alias("__w"))
+           .groupBy(id_col, "__w").agg(F.count("*").alias("__c"))
+           .groupBy(id_col).agg((F.max("__c") / F.sum("__c"))
+                                .alias("top_word_frac")))
+    return per_row.join(top, on=id_col)
+
+
+def repetition_signals_sql(text_expr: str = "text",
+                           id_expr: str = "doc_id",
+                           src: str = "documents") -> str:
+    """DuckDB oracle equivalent of :func:`repetition_signals`."""
+    return f"""
+        WITH t AS (SELECT {id_expr} AS doc_id,
+                          string_split({text_expr}, ' ') AS w FROM {src}),
+        wc AS (SELECT doc_id, u AS word, count(*) AS c
+               FROM t, unnest(w) AS s(u) GROUP BY doc_id, u),
+        top AS (SELECT doc_id,
+                       CAST(max(c) AS DOUBLE) / sum(c) AS top_word_frac
+                FROM wc GROUP BY doc_id),
+        pr AS (SELECT doc_id,
+                      len(w) AS n_words,
+                      CAST(len(list_distinct(w)) AS DOUBLE) / len(w)
+                          AS distinct_word_ratio,
+                      CASE WHEN len(w) >= 3 THEN
+                          1.0 - CAST(len(list_distinct(list_transform(
+                                  range(len(w) - 2),
+                                  i -> w[i+1] || ' ' || w[i+2] || ' '
+                                       || w[i+3]))) AS DOUBLE)
+                                / (len(w) - 2)
+                      ELSE 0.0 END AS dup_trigram_frac
+               FROM t)
+        SELECT pr.doc_id, pr.n_words, pr.distinct_word_ratio,
+               pr.dup_trigram_frac, top.top_word_frac
+        FROM pr JOIN top USING (doc_id)
+    """
+
+
 def lang_id_sql(text_expr: str = "text", id_expr: str = "doc_id") -> str:
     """DuckDB/ANSI oracle equivalent of :func:`lang_id`."""
     def occ(pat):
