@@ -365,18 +365,17 @@ class DumpsterWriter(DataSourceArrowWriter):
     """
 
     def __init__(self, options: dict, schema: StructType, overwrite: bool):
-        from .engine import done_buckets
         _init_writer_common(self, options, schema)
         if overwrite:
             _truncate_store(self.out_dir)
         os.makedirs(os.path.join(self.out_dir, "chunks"), exist_ok=True)
         os.makedirs(os.path.join(self.out_dir, "manifest"), exist_ok=True)
-        # appends land in fresh bucket ids past the committed max, so they
-        # never collide with chunks of completed buckets
+        # appends land in an atomically reserved bucket-id range, so two
+        # CONCURRENT appends into one store can never collide (see
+        # _reserve_bucket_range)
         self.bucket_base = 0
         if self.bucket_col is None:
-            done = done_buckets(self.out_dir)
-            self.bucket_base = (max(done) + 1) if done else 0
+            self.bucket_base = _reserve_bucket_range(self.out_dir)
 
     # executor-side ---------------------------------------------------------
 
@@ -506,6 +505,11 @@ def _encode_task(w, iterator, out_dir: str, bucket_base: int) \
     from .engine import _make_encoder
     tc = TaskContext.get()
     pid = tc.partitionId() if tc is not None else 0
+    if w.bucket_col is None and pid >= _BUCKET_STRIDE:
+        raise RuntimeError(
+            f"write task {pid} exceeds the reserved bucket range "
+            f"({_BUCKET_STRIDE} per job); coalesce the input or raise "
+            f"_BUCKET_STRIDE")
     bucket = bucket_base + pid
 
     def routed(batches):
@@ -584,16 +588,51 @@ def _delete_reported_chunks(messages) -> None:
                 pass
 
 
+_BUCKET_STRIDE = 1 << 20   # bucket-id namespace reserved per append job
+
+
+def _reserve_bucket_range(out_dir: str,
+                          stride: int = _BUCKET_STRIDE) -> int:
+    """Atomically reserve ``[base, base + stride)`` bucket ids for one
+    write job (task ``pid`` maps to ``base + pid``).
+
+    Two CONCURRENT appends that each computed ``max(done_buckets) + 1``
+    would allocate the SAME ids: deterministic chunk names then collide
+    with DIFFERENT data and whichever manifest publishes last silently
+    wins — the exact race class the schema lock closed for evolution
+    (metastore-serialized DDL rationale, HiveClient.java:27-37).  The
+    counter file advances under the store's lock, so every job gets a
+    disjoint range; int32 buckets allow ~2000 reservations, far past any
+    real append cadence before a compaction rewrite."""
+    from . import fs as fslib
+    from .engine import done_buckets
+    alloc = os.path.join(out_dir, "_bucket_alloc.json")
+    with fslib.file_lock(alloc + ".lock"):
+        nxt = 0
+        if os.path.exists(alloc):
+            with open(alloc) as f:
+                nxt = int(json.load(f)["next"])
+        done = done_buckets(out_dir)
+        base = max(nxt, (max(done) + 1) if done else 0)
+        tmp = alloc + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"next": base + stride}, f)
+        os.replace(tmp, alloc)
+    return base
+
+
 def _truncate_store(out_dir: str) -> None:
-    """Static-overwrite truncation: drop chunks, manifests and schema
-    history so the store is reborn with the incoming frame's schema."""
+    """Static-overwrite truncation: drop chunks, manifests, schema history
+    and the bucket-range counter so the store is reborn with the incoming
+    frame's schema."""
     import shutil
     for sub in ("chunks", "manifest"):
         shutil.rmtree(os.path.join(out_dir, sub), ignore_errors=True)
     if os.path.isdir(out_dir):
         for f in os.listdir(out_dir):
             if (f.startswith("_schema") and f.endswith(".json")) \
-                    or f in ("_logical_schema.json", "_hour_buckets.json"):
+                    or f in ("_logical_schema.json", "_hour_buckets.json",
+                             "_bucket_alloc.json"):
                 try:
                     os.remove(os.path.join(out_dir, f))
                 except OSError:
@@ -620,7 +659,17 @@ def _zone_value(v):
 
 
 def register_dumpster_source(spark) -> None:
-    """Idempotently register the 'dumpster' format with a session."""
+    """Idempotently register the 'dumpster' format with a session.
+
+    Multi-threaded drivers: Spark resolves Python data sources through
+    the JVM thread's ACTIVE session, and pinned-thread mode (the PySpark
+    default) backs each new Python thread with a fresh JVM thread that
+    has none — ``format("dumpster")`` then fails with
+    DATA_SOURCE_NOT_FOUND.  In such threads, set it first::
+
+        spark._jvm.org.apache.spark.sql.classic.SparkSession \\
+             .setActiveSession(spark._jsparkSession)
+    """
     # runtime-settable SQL conf gating DataSourceReader.pushFilters
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(DumpsterDataSource)

@@ -142,7 +142,9 @@ def done_buckets(out_dir: str) -> set[int]:
     mdir = os.path.join(out_dir, "manifest")
     if not os.path.isdir(mdir):
         return set()
-    return {int(f[1:7]) for f in os.listdir(mdir)
+    # name = b{bucket}.parquet; bucket is zero-padded to ≥6 digits but may
+    # be wider (writer-sink append ranges), so parse to the suffix
+    return {int(f[1:-len(".parquet")]) for f in os.listdir(mdir)
             if f.startswith("b") and f.endswith(".parquet")}
 
 

@@ -65,6 +65,44 @@ def test_append_fresh_buckets_and_counts(spark, tmp_path):
     assert got.count() == 2 * df.count()
 
 
+def test_concurrent_appends_disjoint_and_lossless(spark, tmp_path):
+    """Two appends whose writers exist CONCURRENTLY (both constructed
+    before either commits) must reserve disjoint bucket ranges — the
+    max(done)+1 scheme would give both the same ids and the later commit
+    would silently replace the earlier rows."""
+    from dumpster.datasource import DumpsterWriter, _reserve_bucket_range
+    out = str(tmp_path / "wc")
+    df = _docs(spark)
+    w1 = DumpsterWriter({"path": out}, df.schema, False)
+    w2 = DumpsterWriter({"path": out}, df.schema, False)
+    assert w1.bucket_base != w2.bucket_base
+
+    # end-to-end: interleaved threaded appends of DIFFERENT data all land
+    import threading
+    out2 = str(tmp_path / "wc2")
+    errs = []
+
+    def job(shift):
+        try:
+            # pinned-thread mode: fresh JVM threads carry no active
+            # session, and Python-data-source lookup needs one (see
+            # register_dumpster_source docstring)
+            spark._jvm.org.apache.spark.sql.classic.SparkSession \
+                .setActiveSession(spark._jsparkSession)
+            (_docs(spark).withColumn("doc_id", F.col("doc_id") + shift)
+             .write.format("dumpster").mode("append").save(out2))
+        except Exception as e:      # surfaced below, not swallowed
+            errs.append(e)
+
+    ts = [threading.Thread(target=job, args=(s,)) for s in (0, 10_000)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert not errs
+    got = spark.read.format("dumpster").option("path", out2).load()
+    assert got.count() == 2 * df.count()
+    assert got.select("doc_id").distinct().count() == 2 * df.count()
+
+
 def test_overwrite_truncates_store_and_schema(spark, tmp_path):
     out = str(tmp_path / "w3")
     _docs(spark).write.format("dumpster").mode("append").save(out)
