@@ -175,6 +175,22 @@ def main():
             p.index("HashAggregate") < p.index("Exchange"),
     })
 
+    # 6. repetition signals: n-gram legs stay in codegen, top-word leg
+    # partial-aggregates map-side; no Python anywhere
+    rs = e.queries()["repetition_signals"](spark, SF)
+    p = plan_of(rs)
+    ok &= section("repetition signals (codegen n-grams + map-side agg)", rs, {
+        "no Python evaluation in the plan":
+            "EvalPython" not in p and "PythonUDF" not in p,
+        # index-compare breaks here: the tree summary prints the
+        # BroadcastExchange of the final join before the aggregate nodes;
+        # assert the map-side partials directly instead
+        "both aggregation levels partial-aggregate before their exchange":
+            "partial_count" in p and "partial_max" in p,
+        "small per-doc side broadcast, not shuffled, into the join":
+            "BroadcastHashJoin" in p,
+    })
+
     spark.stop()
     print(f"\n**overall: {'PASS' if ok else 'FAIL'}**")
     sys.exit(0 if ok else 1)
