@@ -31,6 +31,16 @@ SupportsPushDownRequiredColumns hook yet, so a plain ``SELECT lang`` still
 decodes all registered columns; register narrow views with
 ``columns=[...]`` where that matters (ranged reads then skip other
 columns' bytes on disk entirely).
+
+Spark 4.1 stale-scan-cache caveat (raw ``format("dumpster")`` use):
+``PythonDataSourceV2.setReadInfo`` overwrites the per-relation planned
+read with each filtered planning, and a later query on the SAME
+DataFrame/view with no pushable filter reuses that stale pruned
+partition list — rows silently vanish.  ``engine.register_decoded_view
+(pushdown=True)`` works around it with a manifest-verified never-null
+``IS NOT NULL`` sentinel (every query then re-plans); raw DataFrames
+reused across filtered and unfiltered queries should do the same or be
+recreated per query.
 """
 
 from __future__ import annotations
@@ -59,11 +69,42 @@ class ChunkFilesPartition(InputPartition):
         self.files = files
 
 
+def _resolve_stores(path: str) -> list[str]:
+    """A path is either ONE encoded store (has ``_schema.json``) or a
+    streaming-sink root whose ``batch=N`` children are stores — the
+    format reads both, so SQL users can point straight at a
+    ``writeStream`` output without knowing the layout."""
+    import glob as _glob
+    if os.path.exists(os.path.join(path, "_schema.json")):
+        return [path]
+    batches = sorted(d for d in _glob.glob(os.path.join(path, "batch=*"))
+                     if os.path.exists(os.path.join(d, "_schema.json")))
+    if batches:
+        return batches
+    raise ValueError(
+        f"{path!r} is neither an encoded table (no _schema.json) nor a "
+        f"stream-sink root (no batch=*/ stores); pass the store directory "
+        f"written by encode_table / the dumpster sink")
+
+
+def _union_schema(stores: list[str]) -> StructType:
+    from .engine import _evolve_schema, table_schema
+    out = table_schema(stores[0])
+    for d in stores[1:]:
+        out = _evolve_schema(out, table_schema(d))
+    return out
+
+
 class DumpsterDataSource(DataSource):
     """``spark.read.format("dumpster").option("path", out_dir).load()``.
 
+    ``path`` may also be a STREAM-SINK ROOT (``batch=N`` stores from
+    ``df.writeStream.format("dumpster")`` / ``encode_stream``): batches
+    are scanned as one table, schemas evolve-unioned across batches
+    (older batches null-fill newer columns).
+
     Options:
-      path          — encoded table directory (required)
+      path          — encoded table directory or stream root (required)
       columns       — comma-separated projection (optional)
       on_error      — "raise" (default) | "skip" corrupt chunk files
       target_bytes  — encoded bytes per input partition (default 64 MiB)
@@ -74,11 +115,17 @@ class DumpsterDataSource(DataSource):
         return "dumpster"
 
     def schema(self) -> StructType:
-        from .engine import table_schema
+        from pyspark.sql.types import StructField
         out_dir = self.options.get("path")
         if not out_dir:
             raise ValueError("dumpster datasource requires .option('path', out_dir)")
-        full = table_schema(out_dir)
+        full = _union_schema(_resolve_stores(out_dir))
+        # every field reports nullable: old-generation chunks null-fill
+        # evolved columns, and a nullable report is always a safe
+        # relaxation — it also keeps the pushdown-view sentinel filter
+        # (engine.register_decoded_view) from being constant-folded away
+        full = StructType([StructField(f.name, f.dataType, nullable=True)
+                           for f in full.fields])
         cols = self.options.get("columns")
         if cols:
             want = [c.strip() for c in cols.split(",") if c.strip()]
@@ -104,6 +151,7 @@ class DumpsterDataSource(DataSource):
 class DumpsterReader(DataSourceReader):
     def __init__(self, options: dict, schema: StructType):
         self.out_dir = options["path"]
+        self.stores = _resolve_stores(self.out_dir)
         self.on_error = options.get("on_error", "raise")
         self.target_bytes = int(options.get("target_bytes",
                                             _DEFAULT_TARGET_BYTES))
@@ -188,22 +236,25 @@ class DumpsterReader(DataSourceReader):
 
     def partitions(self) -> list[ChunkFilesPartition]:
         import pyarrow.dataset as ds
-        mdir = os.path.join(self.out_dir, "manifest")
+        mfiles = []
+        for store in self.stores:
+            mdir = os.path.join(store, "manifest")
+            if os.path.isdir(mdir):
+                mfiles += [os.path.join(mdir, f)
+                           for f in sorted(os.listdir(mdir))
+                           if f.startswith("b") and f.endswith(".parquet")]
         files_sizes: list[tuple[str, int]] = []
-        if os.path.isdir(mdir):
-            mfiles = [os.path.join(mdir, f) for f in sorted(os.listdir(mdir))
-                      if f.startswith("b") and f.endswith(".parquet")]
-            if mfiles:
-                tbl = ds.dataset(mfiles).to_table(
-                    columns=["file", "encoded_bytes", "col_stats", "n_rows"])
-                for fp, nb, cs, nr in zip(tbl.column(0).to_pylist(),
-                                          tbl.column(1).to_pylist(),
-                                          tbl.column(2).to_pylist(),
-                                          tbl.column(3).to_pylist()):
-                    if (self.zones or self.null_preds) \
-                            and not self._survives(cs, int(nr)):
-                        continue
-                    files_sizes.append((fp, int(nb)))
+        if mfiles:
+            tbl = ds.dataset(mfiles).to_table(
+                columns=["file", "encoded_bytes", "col_stats", "n_rows"])
+            for fp, nb, cs, nr in zip(tbl.column(0).to_pylist(),
+                                      tbl.column(1).to_pylist(),
+                                      tbl.column(2).to_pylist(),
+                                      tbl.column(3).to_pylist()):
+                if (self.zones or self.null_preds) \
+                        and not self._survives(cs, int(nr)):
+                    continue
+                files_sizes.append((fp, int(nb)))
         # deterministic order, then greedy bin-pack to target_bytes
         files_sizes.sort()
         parts, cur, cur_b = [], [], 0
@@ -259,8 +310,7 @@ class DumpsterReader(DataSourceReader):
         # subset — a full read is one sequential pass (cheaper than
         # per-column seeks when every byte is needed anyway)
         try:
-            from .engine import table_schema
-            full_names = [f.name for f in table_schema(self.out_dir).fields]
+            full_names = [f.name for f in _union_schema(self.stores).fields]
         except Exception:
             full_names = self.names
         columns = self.names if set(self.names) < set(full_names) else None

@@ -1067,6 +1067,45 @@ def decode_tables(spark: SparkSession, dirs: list[str], *,
     return out
 
 
+def _pushdown_sentinel(out_dir: str,
+                       columns: list[str] | None = None) -> str | None:
+    """First column PROVEN never-null by the manifest (``n_nulls == 0`` in
+    EVERY chunk, and present in every chunk — a column missing from
+    old-generation chunks null-fills on decode, so it cannot carry the
+    sentinel).  Returns None when no column qualifies."""
+    import pyarrow.dataset as ds
+    from .datasource import _resolve_stores, _union_schema
+    try:
+        stores = _resolve_stores(out_dir)
+    except ValueError:
+        return None
+    mfiles = []
+    for store in stores:
+        mdir = os.path.join(store, "manifest")
+        if os.path.isdir(mdir):
+            mfiles += [os.path.join(mdir, f) for f in sorted(os.listdir(mdir))
+                       if f.startswith("b") and f.endswith(".parquet")]
+    if not mfiles:
+        return None
+    stats_col = ds.dataset(mfiles).to_table(columns=["col_stats"]).column(0)
+    present: dict[str, int] = {}
+    nulls: dict[str, int] = {}
+    n_chunks = 0
+    for cs in stats_col.to_pylist():
+        n_chunks += 1
+        for s in json.loads(cs):
+            c = s["column"]
+            present[c] = present.get(c, 0) + 1
+            nn = s.get("n_nulls")
+            nulls[c] = nulls.get(c, 0) + (nn if nn is not None else 1)
+    candidates = [f.name for f in _union_schema(stores).fields
+                  if columns is None or f.name in columns]
+    for c in candidates:
+        if present.get(c) == n_chunks and nulls.get(c) == 0:
+            return c
+    return None
+
+
 def register_decoded_view(spark: SparkSession, out_dir: str, name: str,
                           columns: list[str] | None = None,
                           pushdown: bool = False) -> DataFrame:
@@ -1087,14 +1126,46 @@ def register_decoded_view(spark: SparkSession, out_dir: str, name: str,
     reference's users get from Hive partition pruning,
     HiveClient.java:88-94).  Results are exact either way: the reader
     returns every filter for Spark to re-apply row-level.
+
+    Spark 4.1 caveat the sentinel filter below works around:
+    ``PythonDataSourceV2`` caches the planned read (partitions + read
+    function) per relation and ``pushFilters`` OVERWRITES that cache with
+    the filtered planning's result — a later query on the same
+    relation/view with NO pushable filter reuses the stale pruned
+    partition list and silently loses rows.  The view is therefore
+    registered with an ``IS NOT NULL`` predicate on a column the
+    manifest PROVES never-null (a semantic no-op): every query then
+    carries a pushable filter, every planning re-runs the Python
+    pushdown worker with a fresh reader, and the cache can never go
+    stale.  When no never-null column exists the registration falls
+    back to the exact decode view (no planning-time pruning) rather
+    than risk wrong answers.  NOTE: raw
+    ``spark.read.format("dumpster")`` DataFrames reused across filtered
+    and unfiltered queries hit the same Spark bug — prefer this API, or
+    append ``.filter(col.isNotNull())`` on a never-null column, or
+    create a fresh DataFrame per query.  Appends that later introduce
+    NULLs into the sentinel column would make the sentinel drop those
+    rows: re-register the view after such appends (the sentinel is
+    re-verified at registration time).
     """
     if pushdown:
         from .datasource import register_dumpster_source
-        register_dumpster_source(spark)
-        r = spark.read.format("dumpster").option("path", out_dir)
-        if columns:
-            r = r.option("columns", ",".join(columns))
-        df = r.load()
+        sentinel = _pushdown_sentinel(out_dir, columns)
+        if sentinel is None:
+            import warnings
+            warnings.warn(
+                f"register_decoded_view({name!r}, pushdown=True): no "
+                f"column is provably never-null in the manifest, so the "
+                f"stale-scan-cache workaround (see docstring) cannot be "
+                f"applied safely; registering the exact decode view "
+                f"without planning-time pruning instead")
+            df = decode_table(spark, out_dir, columns)
+        else:
+            register_dumpster_source(spark)
+            r = spark.read.format("dumpster").option("path", out_dir)
+            if columns:
+                r = r.option("columns", ",".join(columns))
+            df = r.load().filter(F.col(sentinel).isNotNull())
     else:
         df = decode_table(spark, out_dir, columns)
     df.createOrReplaceTempView(name)

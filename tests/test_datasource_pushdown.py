@@ -248,3 +248,47 @@ def test_randomized_where_equivalence(spark, tmp_path_factory):
         want = spark.sql(f"SELECT sum(doc_id) AS s, count(*) AS c "
                          f"FROM rand_raw WHERE {c}").collect()[0]
         assert (got["s"], got["c"]) == (want["s"], want["c"]), c
+
+
+def test_stale_scan_cache_workaround(spark, encoded_docs):
+    """Spark 4.1 overwrites the per-relation planned read on every
+    filtered planning (PythonDataSourceV2.setReadInfo); an unfiltered
+    query on the same view then reused the stale pruned partitions and
+    lost rows.  The never-null sentinel in register_decoded_view forces
+    a re-plan on every query — the poisoned sequence must now be exact."""
+    register_decoded_view(spark, encoded_docs, "docs_stale", pushdown=True)
+    total = spark.read.parquet(
+        "/root/testdata/sf0.01/documents.parquet").count()
+    assert spark.sql("SELECT count(*) c FROM docs_stale").collect()[0]["c"] \
+        == total
+    spark.sql("SELECT count(*) c FROM docs_stale "
+              "WHERE doc_id BETWEEN 100 AND 150").collect()
+    # the killer sequence: full scan AFTER a filtered planning
+    assert spark.sql("SELECT count(*) c FROM docs_stale").collect()[0]["c"] \
+        == total
+    spark.sql("SELECT count(*) c FROM docs_stale WHERE doc_id < 40").collect()
+    assert spark.sql("SELECT * FROM docs_stale").count() == total
+
+
+def test_sentinel_fallback_all_nullable(spark, tmp_path):
+    """A store where EVERY column carries nulls in every chunk cannot host
+    the sentinel; registration must fall back to the exact decode view
+    (no pruning) with a warning rather than risk wrong answers."""
+    import warnings as w
+    out = str(tmp_path / "allnull")
+    df = spark.range(0, 200).select(
+        F.when(F.col("id") % 7 == 0, None).otherwise(F.col("id"))
+        .alias("doc_id"),
+        F.when(F.col("id") % 5 == 0, None)
+        .otherwise((F.col("id") % 3).cast("string")).alias("lang"))
+    encode_table(df, out, bucket_expr=F.lit(0), n_buckets=1, chunk_rows=64,
+                 table_id="allnull")
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        register_decoded_view(spark, out, "allnull_v", pushdown=True)
+    assert any("never-null" in str(c.message) for c in caught)
+    got = spark.sql("SELECT count(*) c FROM allnull_v").collect()[0]["c"]
+    assert got == 200
+    spark.sql("SELECT count(*) c FROM allnull_v WHERE doc_id > 50").collect()
+    assert spark.sql("SELECT count(*) c FROM allnull_v").collect()[0]["c"] \
+        == 200

@@ -90,6 +90,39 @@ def test_stream_sink_roundtrip_and_layout(spark, tmp_path):
     assert folded.exceptAll(spark.read.parquet(src)).count() == 0
 
 
+def test_format_reads_stream_root(spark, tmp_path):
+    """spark.read.format("dumpster") pointed at a writeStream output root
+    scans every batch=N store as one table — SQL users need not know the
+    layout or switch to decode_stream_table."""
+    src = str(tmp_path / "s3src")
+    out = str(tmp_path / "s3out")
+    _write_batch_files(spark, src, 0, 120)
+    _write_batch_files(spark, src, 120, 200)
+    q = (spark.readStream
+         .schema("doc_id long, lang string, text string")
+         .option("maxFilesPerTrigger", "1").parquet(src)
+         .writeStream.format("dumpster")
+         .option("path", out).option("chunk_rows", "64")
+         .option("checkpointLocation", str(tmp_path / "s3ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert len(batch_dirs(out)) == 2
+
+    got = spark.read.format("dumpster").option("path", out).load()
+    want = spark.read.parquet(src)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # pushdown still engages across batches: a WHERE is exact
+    got.createOrReplaceTempView("stream_root_docs")
+    n = spark.sql("SELECT count(*) AS n FROM stream_root_docs "
+                  "WHERE doc_id BETWEEN 50 AND 149").collect()[0]["n"]
+    assert n == 100
+    # a non-store path still fails loudly
+    with pytest.raises(Exception, match="neither an encoded table"):
+        spark.read.format("dumpster") \
+            .option("path", str(tmp_path / "nope")).load().count()
+
+
 def test_stream_sink_rejects_bucket_col(spark, tmp_path):
     src = str(tmp_path / "s2")
     _write_batch_files(spark, src, 0, 10)
