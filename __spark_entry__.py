@@ -711,6 +711,20 @@ def q_repetition_signals(spark, sf):
     return textops.repetition_signals(_t(spark, sf, "documents"))
 
 
+def q_redact_pii(spark, sf):
+    """PII scrubbing (textops.redact_pii): the synthetic corpus carries no
+    PII, so each doc gets a deterministic injected email + phone + IPv4
+    and the op must scrub exactly those — replacement text AND per-type
+    counts are value-hashed against the DuckDB oracle."""
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" contact u"),
+                 F.col("doc_id").cast("string"), F.lit("@ex.com or "),
+                 F.lit("555-867-5309 at 10.0.0."),
+                 (F.col("doc_id") % 256).cast("string")).alias("text"))
+    return textops.redact_pii(docs)
+
+
 def q_writer_sink_roundtrip(spark, sf):
     """The df.write front door: two appends through Spark's V2 commit
     protocol (chunks task-side, manifests published by the driver
@@ -779,6 +793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compact_stream_roundtrip": q_compact_stream_roundtrip,
         "writer_sink_roundtrip": q_writer_sink_roundtrip,
         "repetition_signals": q_repetition_signals,
+        "redact_pii": q_redact_pii,
         "catalog_restore": q_catalog_restore,
         "schema_evolution_store": q_schema_evolution_store,
         "multischema_routing": q_multischema_routing,
@@ -944,6 +959,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_id": textops.lang_id_sql(),
         "repetition_signals": textops.repetition_signals_sql(),
+        "redact_pii": textops.redact_pii_sql(
+            src="(SELECT doc_id, text || ' contact u' "
+                "|| CAST(doc_id AS VARCHAR) || '@ex.com or ' "
+                "|| '555-867-5309 at 10.0.0.' "
+                "|| CAST(doc_id % 256 AS VARCHAR) AS text "
+                "FROM documents) s"),
         "quality_scores": """
             SELECT doc_id,
                    CAST(length(text) AS BIGINT) AS n_chars,

@@ -293,6 +293,53 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
     return per_row.join(top, on=id_col)
 
 
+# PII patterns shared verbatim by the Spark (Java regex) and DuckDB (RE2)
+# sides: no top-level alternation, no backrefs, ASCII classes only — the
+# constructs where the two engines' leftmost-match semantics agree.
+# Order matters: emails first (their local parts can contain digits),
+# IPv4 before phone (dotted quads must not be half-eaten as phone digits).
+PII_PATTERNS = (
+    ("<EMAIL>", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("<IP>", r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
+    ("<PHONE>", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"),
+)
+
+
+def redact_pii(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Training-data PII scrubbing (the C4/RefinedWeb preprocessing step;
+    the reference ships raw payloads untouched — this is §2.10 family
+    work layered on the engine): emails, IPv4 addresses and NANP-style
+    phone numbers are replaced by typed placeholders, with per-type
+    match counts kept as filtering/audit signals.
+
+    Pure Column expressions (regexp_replace / regexp_count) — JVM-side,
+    whole-stage codegen, zero shuffle; scale-safe at any size.
+    """
+    t = F.col(text_col)
+    red = t
+    counts = []
+    for tag, pat in PII_PATTERNS:
+        name = "n_" + tag.strip("<>").lower() + "s"
+        counts.append(F.regexp_count(red, F.lit(pat)).alias(name))
+        red = F.regexp_replace(red, pat, tag)
+    return df.select(F.col(id_col), red.alias("text_redacted"), *counts)
+
+
+def redact_pii_sql(text_expr: str = "text", id_expr: str = "doc_id",
+                   src: str = "documents") -> str:
+    """DuckDB oracle equivalent of :func:`redact_pii` (RE2 'g' flag =
+    Java regexp_replace's replace-all default)."""
+    red = text_expr
+    counts = []
+    for tag, pat in PII_PATTERNS:
+        name = "n_" + tag.strip("<>").lower() + "s"
+        counts.append(f"len(regexp_extract_all({red}, '{pat}')) AS {name}")
+        red = f"regexp_replace({red}, '{pat}', '{tag}', 'g')"
+    return (f"SELECT {id_expr} AS doc_id, {red} AS text_redacted, "
+            + ", ".join(counts) + f" FROM {src}")
+
+
 def repetition_signals_sql(text_expr: str = "text",
                            id_expr: str = "doc_id",
                            src: str = "documents") -> str:
