@@ -65,7 +65,12 @@ def get_spark(app: str = "dumpster", cores: int | str | None = None,
          # fewer compression cycles — and on a network-shuffle cluster
          # compression is the standard choice anyway.
          .config("spark.shuffle.compress", "true")
-         .config("spark.shuffle.spill.compress", "true"))
+         .config("spark.shuffle.spill.compress", "true")
+         # lz4 default; DUMPSTER_IO_CODEC=zstd flips shuffle/spill codec
+         # (A/B seam — zstd trades compression cycles for fewer bytes
+         # through the memory bus / network)
+         .config("spark.io.compression.codec",
+                 os.environ.get("DUMPSTER_IO_CODEC", "lz4")))
     for k, v in (extra or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
