@@ -17,6 +17,9 @@ Layout (SURVEY.md §7.1):
   manifest.py manifest schema + resume bookkeeping
   pipeline.py relational prep (dedup, hour bucketing, host/salt, metadata)
   engine.py  encode_table / decode_table (mapInArrow drivers)
+  datasource.py  Python DataSource "dumpster": pushdown reader + native
+             batch/stream sinks (df.write / df.writeStream)
+  iceberg.py capability-gated Iceberg front door (snapshot-pinned encode)
   synth.py   deterministic Common-Crawl-style `pages` generator
   textops.py / dedup.py / simsearch.py / multimodal.py
              training-data-pipeline operators over documents/embeddings

@@ -123,6 +123,34 @@ def test_format_reads_stream_root(spark, tmp_path):
             .option("path", str(tmp_path / "nope")).load().count()
 
 
+def test_pushdown_view_over_stream_root(spark, tmp_path):
+    """register_decoded_view(pushdown=True) on a writeStream output root:
+    the never-null sentinel is verified across EVERY batch's manifests
+    and the stale-scan-cache killer sequence stays exact."""
+    from dumpster.engine import register_decoded_view
+    src = str(tmp_path / "s4src")
+    out = str(tmp_path / "s4out")
+    _write_batch_files(spark, src, 0, 150)
+    _write_batch_files(spark, src, 150, 260)
+    q = (spark.readStream
+         .schema("doc_id long, lang string, text string")
+         .option("maxFilesPerTrigger", "1").parquet(src)
+         .writeStream.format("dumpster")
+         .option("path", out).option("chunk_rows", "64")
+         .option("checkpointLocation", str(tmp_path / "s4ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    register_decoded_view(spark, out, "stream_pd", pushdown=True)
+    assert spark.sql("SELECT count(*) c FROM stream_pd") \
+        .collect()[0]["c"] == 260
+    assert spark.sql("SELECT count(*) c FROM stream_pd "
+                     "WHERE doc_id BETWEEN 100 AND 199") \
+        .collect()[0]["c"] == 100
+    # full scan AFTER the filtered planning (the poisoned sequence)
+    assert spark.sql("SELECT count(*) c FROM stream_pd") \
+        .collect()[0]["c"] == 260
+
+
 def test_stream_sink_rejects_bucket_col(spark, tmp_path):
     src = str(tmp_path / "s2")
     _write_batch_files(spark, src, 0, 10)
