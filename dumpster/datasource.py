@@ -426,6 +426,24 @@ class DumpsterWriter(DataSourceArrowWriter):
         self.bucket_base = 0
         if self.bucket_col is None:
             self.bucket_base = _reserve_bucket_range(self.out_dir)
+        else:
+            from .engine import done_buckets
+            existing = done_buckets(self.out_dir)
+            if existing:
+                # a hand-bucketed frame's ids can collide with committed
+                # buckets, and task-side chunk writes would CLOBBER the
+                # old bucket's files before any commit-time check could
+                # refuse — so the unsafe shape is rejected before a
+                # single task runs
+                raise ValueError(
+                    f"bucket_col append into a store with "
+                    f"{len(existing)} committed bucket(s): user bucket "
+                    f"ids may collide with existing chunks (silent "
+                    f"corruption). Use mode('overwrite'), a fresh "
+                    f"out_dir, or the default partition-id bucketing "
+                    f"(which reserves a disjoint range); for "
+                    f"resume-into-existing-bucket semantics use "
+                    f"engine.encode_table(resume=True).")
 
     # executor-side ---------------------------------------------------------
 

@@ -152,6 +152,31 @@ def test_bucket_col_salted_layout(spark, tmp_path):
     assert set(done_buckets(out)) <= set(range(8))
 
 
+def test_bucket_col_append_into_existing_store_refused(spark, tmp_path):
+    """User bucket ids can collide with committed buckets and task-side
+    writes would clobber the old chunks BEFORE commit — the writer must
+    refuse at creation, before any task runs (and overwrite must still
+    work)."""
+    out = str(tmp_path / "wbc")
+    df = _docs(spark)
+    df.write.format("dumpster").mode("append").save(out)
+    prepped = pipeline.prep_for_encode(
+        df.withColumn("url", F.concat(F.lit("https://h.example/"),
+                                      F.col("doc_id").cast("string"))),
+        "url", n_buckets=4)
+    with pytest.raises(Exception, match="committed bucket"):
+        prepped.write.format("dumpster").option("path", out) \
+            .option("bucket_col", "__bucket").mode("append").save()
+    # the committed store is untouched by the refused write
+    assert spark.read.format("dumpster").option("path", out) \
+        .load().count() == df.count()
+    # overwrite remains the sanctioned route
+    prepped.write.format("dumpster").option("path", out) \
+        .option("bucket_col", "__bucket").mode("overwrite").save()
+    assert spark.read.format("dumpster").option("path", out) \
+        .load().count() == df.count()
+
+
 def test_bucket_col_unpartitioned_refused(spark, tmp_path):
     out = str(tmp_path / "w6")
     # bucket constant 0 across MANY input partitions, never repartitioned:
