@@ -725,6 +725,28 @@ def q_redact_pii(spark, sf):
     return textops.redact_pii(docs)
 
 
+def q_canonical_urls(spark, sf):
+    """URL canonicalization (textops.canonical_url) — the key for the
+    URL-level dedup pass every crawl pipeline runs first.  Deterministic
+    case/port/fragment variants are injected per doc and both the raw
+    and canonical forms are value-hashed against the oracle."""
+    m4 = F.col("doc_id") % 4
+    url = F.concat(
+        F.when(m4 == 0, F.lit("HTTP://")).when(m4 == 1, F.lit("https://"))
+         .when(m4 == 2, F.lit("http://")).otherwise(F.lit("https://")),
+        F.lit("WWW.Example"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".COM"),
+        F.when(m4 == 0, F.lit(":80")).when(m4 == 3, F.lit(":443"))
+         .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(""))
+         .otherwise(F.concat(F.lit("/Path/"),
+                             F.col("doc_id").cast("string"),
+                             F.lit("#frag"))))
+    return (_t(spark, sf, "documents")
+            .select("doc_id", url.alias("raw_url"),
+                    textops.canonical_url(url).alias("canonical")))
+
+
 def q_writer_sink_roundtrip(spark, sf):
     """The df.write front door: two appends through Spark's V2 commit
     protocol (chunks task-side, manifests published by the driver
@@ -794,6 +816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "writer_sink_roundtrip": q_writer_sink_roundtrip,
         "repetition_signals": q_repetition_signals,
         "redact_pii": q_redact_pii,
+        "canonical_urls": q_canonical_urls,
         "catalog_restore": q_catalog_restore,
         "schema_evolution_store": q_schema_evolution_store,
         "multischema_routing": q_multischema_routing,
@@ -959,6 +982,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_id": textops.lang_id_sql(),
         "repetition_signals": textops.repetition_signals_sql(),
+        "canonical_urls": f"""
+            WITH u AS (SELECT doc_id,
+                (CASE doc_id % 4 WHEN 0 THEN 'HTTP://'
+                                 WHEN 1 THEN 'https://'
+                                 WHEN 2 THEN 'http://'
+                                 ELSE 'https://' END)
+                || 'WWW.Example' || CAST(doc_id % 7 AS VARCHAR) || '.COM'
+                || (CASE WHEN doc_id % 4 = 0 THEN ':80'
+                         WHEN doc_id % 4 = 3 THEN ':443' ELSE '' END)
+                || (CASE WHEN doc_id % 3 = 0 THEN ''
+                         ELSE '/Path/' || CAST(doc_id AS VARCHAR)
+                              || '#frag' END) AS url
+                FROM documents)
+            SELECT doc_id, url AS raw_url,
+                   {textops.canonical_url_sql('url')} AS canonical
+            FROM u
+        """,
         "redact_pii": textops.redact_pii_sql(
             src="(SELECT doc_id, text || ' contact u' "
                 "|| CAST(doc_id AS VARCHAR) || '@ex.com or ' "

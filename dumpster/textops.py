@@ -293,6 +293,55 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
     return per_row.join(top, on=id_col)
 
 
+_URL_PREFIX_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
+
+
+def canonical_url(url: Column) -> Column:
+    """Crawl-style URL canonicalization — the key for URL-level dedup,
+    the FIRST dedup pass of every web pipeline (before any content
+    fingerprinting; the reference has no notion of it).
+
+    Rules (deliberately conservative, all pure Column expressions):
+    scheme+authority lowercased (path/query case preserved), fragment
+    stripped, default ports :80 (http) / :443 (https) removed, empty
+    path after a bare authority becomes '/'.  Bracketed IPv6
+    authorities are passed through un-canonicalized.  Scheme-less
+    strings only get the fragment strip.
+    """
+    prefix = F.regexp_extract(url, _URL_PREFIX_RE, 0)
+    rest = F.regexp_replace(F.substr(url, F.length(prefix) + F.lit(1)),
+                            "#.*$", "")
+    low = F.lower(prefix)
+    low = (F.when(low.startswith("http://") & low.endswith(":80"),
+                  F.substring(low, 1, F.length(low) - F.lit(3)))
+           .when(low.startswith("https://") & low.endswith(":443"),
+                 F.substring(low, 1, F.length(low) - F.lit(4)))
+           .otherwise(low))
+    rest = F.when((prefix != "") & (rest == ""), F.lit("/")).otherwise(rest)
+    return (F.when(prefix == "",
+                   F.regexp_replace(url, "#.*$", ""))
+            .otherwise(F.concat(low, rest)))
+
+
+def canonical_url_sql(url_expr: str) -> str:
+    """DuckDB oracle equivalent of :func:`canonical_url`."""
+    pre = f"regexp_extract({url_expr}, '{_URL_PREFIX_RE}')"
+    rest = (f"regexp_replace(substring({url_expr}, length({pre}) + 1), "
+            f"'#.*$', '')")
+    low = (f"CASE WHEN lower({pre}) LIKE 'http://%' "
+           f"          AND lower({pre}) LIKE '%:80' "
+           f"     THEN substring(lower({pre}), 1, length({pre}) - 3) "
+           f"     WHEN lower({pre}) LIKE 'https://%' "
+           f"          AND lower({pre}) LIKE '%:443' "
+           f"     THEN substring(lower({pre}), 1, length({pre}) - 4) "
+           f"     ELSE lower({pre}) END")
+    rest2 = (f"CASE WHEN {pre} <> '' AND {rest} = '' THEN '/' "
+             f"ELSE {rest} END")
+    return (f"CASE WHEN {pre} = '' "
+            f"THEN regexp_replace({url_expr}, '#.*$', '') "
+            f"ELSE {low} || {rest2} END")
+
+
 # PII patterns shared verbatim by the Spark (Java regex) and DuckDB (RE2)
 # sides: no top-level alternation, no backrefs, ASCII classes only — the
 # constructs where the two engines' leftmost-match semantics agree.
