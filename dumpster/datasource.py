@@ -95,6 +95,20 @@ def _union_schema(stores: list[str]) -> StructType:
     return out
 
 
+def _manifest_files(stores: list[str]) -> list[str]:
+    """Every committed per-bucket manifest file across the stores, in
+    deterministic order (shared by the reader's planner and the
+    pushdown-sentinel scan so they can never disagree on which chunks
+    exist)."""
+    out = []
+    for store in stores:
+        mdir = os.path.join(store, "manifest")
+        if os.path.isdir(mdir):
+            out += [os.path.join(mdir, f) for f in sorted(os.listdir(mdir))
+                    if f.startswith("b") and f.endswith(".parquet")]
+    return out
+
+
 class DumpsterDataSource(DataSource):
     """``spark.read.format("dumpster").option("path", out_dir).load()``.
 
@@ -236,13 +250,7 @@ class DumpsterReader(DataSourceReader):
 
     def partitions(self) -> list[ChunkFilesPartition]:
         import pyarrow.dataset as ds
-        mfiles = []
-        for store in self.stores:
-            mdir = os.path.join(store, "manifest")
-            if os.path.isdir(mdir):
-                mfiles += [os.path.join(mdir, f)
-                           for f in sorted(os.listdir(mdir))
-                           if f.startswith("b") and f.endswith(".parquet")]
+        mfiles = _manifest_files(self.stores)
         files_sizes: list[tuple[str, int]] = []
         if mfiles:
             tbl = ds.dataset(mfiles).to_table(
@@ -424,10 +432,17 @@ class DumpsterWriter(DataSourceArrowWriter):
         # CONCURRENT appends into one store can never collide (see
         # _reserve_bucket_range)
         self.bucket_base = 0
+        self.chunk_subdir = None
         if self.bucket_col is None:
             self.bucket_base = _reserve_bucket_range(self.out_dir)
         else:
             from .engine import done_buckets
+            # two CONCURRENT bucket_col writers both see an empty store at
+            # init, so their chunks are namespaced by a reserved job id
+            # (no file clobbering); the commit-time existing-manifest check
+            # then serializes them fail-loud (first commit wins)
+            self.chunk_subdir = \
+                f"w{_reserve_bucket_range(self.out_dir):09d}"
             existing = done_buckets(self.out_dir)
             if existing:
                 # a hand-bucketed frame's ids can collide with committed
@@ -454,7 +469,8 @@ class DumpsterWriter(DataSourceArrowWriter):
 
     def commit(self, messages) -> None:
         _publish_batch(self.out_dir, messages, self.bucket_col,
-                       self.payload_schema)
+                       self.payload_schema,
+                       refuse_existing=self.bucket_col is not None)
 
     def abort(self, messages) -> None:
         _delete_reported_chunks(messages)
@@ -579,6 +595,8 @@ def _encode_task(w, iterator, out_dir: str, bucket_base: int) \
             f"({_BUCKET_STRIDE} per job); coalesce the input or raise "
             f"_BUCKET_STRIDE")
     bucket = bucket_base + pid
+    sub = getattr(w, "chunk_subdir", None)
+    subdirs = _ConstSubdir(sub) if sub else None
 
     def routed(batches):
         for b in batches:
@@ -598,19 +616,50 @@ def _encode_task(w, iterator, out_dir: str, bucket_base: int) \
     # monotone seq per bucket per task
     encoder = _make_encoder(out_dir, w.table_id, w.chunk_rows,
                             w.chunk_bytes, w.allow_zlib, frozenset(),
-                            sorted_input=False, publish_manifest=False)
+                            sorted_input=False, publish_manifest=False,
+                            bucket_subdirs=subdirs)
     rows: list = []
     for mb in encoder(routed(iterator)):
         rows.extend(mb.to_pylist())
     return DumpsterCommitMessage(rows, pid)
 
 
+class _ConstSubdir(dict):
+    """bucket→subdir map answering the same subdir for EVERY bucket —
+    the job-namespace for bucket_col-mode chunk files (engine._chunk_path
+    checks membership, so the empty-dict falsiness must be overridden)."""
+
+    def __init__(self, sub: str):
+        super().__init__()
+        self.sub = sub
+
+    def __contains__(self, k):
+        return True
+
+    def __getitem__(self, k):
+        return self.sub
+
+    def __bool__(self):
+        return True
+
+    def __reduce__(self):
+        return (_ConstSubdir, (self.sub,))
+
+
 def _publish_batch(out_dir: str, messages, bucket_col,
-                   payload_schema: StructType) -> None:
+                   payload_schema: StructType,
+                   refuse_existing: bool = False) -> None:
     """Driver-side committer shared by both sinks: schema first
     (create-or-evolve under the store lock), then the per-bucket
     manifests — a reader never sees a manifest row whose columns the
-    stored schema cannot describe, and nothing at all until commit."""
+    stored schema cannot describe, and nothing at all until commit.
+
+    ``refuse_existing`` (bucket_col mode): a manifest already on disk
+    for one of this job's buckets means a CONCURRENT bucket_col writer
+    committed first (both saw an empty store at init; chunks are
+    job-namespaced so nothing clobbered) — the second job fails loud
+    BEFORE publishing anything instead of silently replacing the
+    winner's manifests."""
     import pyarrow.parquet as pq
     from .engine import (_MANIFEST_ARROW, _fs_write_atomic, _manifest_path,
                          _publish_table_schema)
@@ -631,6 +680,17 @@ def _publish_batch(out_dir: str, messages, bucket_col,
                     f"written); repartition by the bucket column — "
                     f"pipeline.prep_for_encode does this — and rewrite.")
             by_bucket.setdefault(b, []).append(r)
+    if refuse_existing:
+        clashes = [b for b in by_bucket
+                   if os.path.exists(_manifest_path(out_dir, b))]
+        if clashes:
+            raise RuntimeError(
+                f"bucket(s) {sorted(clashes)[:8]} already have committed "
+                f"manifests: a concurrent bucket_col writer finished "
+                f"first. Nothing was published by this job (its chunks "
+                f"are namespaced and clean_orphans will sweep them); "
+                f"retry against the store's current state or use "
+                f"overwrite.")
     os.makedirs(os.path.join(out_dir, "manifest"), exist_ok=True)
     _publish_table_schema(out_dir, payload_schema)
     for b, rows in sorted(by_bucket.items()):

@@ -1074,17 +1074,12 @@ def _pushdown_sentinel(out_dir: str,
     old-generation chunks null-fills on decode, so it cannot carry the
     sentinel).  Returns None when no column qualifies."""
     import pyarrow.dataset as ds
-    from .datasource import _resolve_stores, _union_schema
+    from .datasource import _manifest_files, _resolve_stores, _union_schema
     try:
         stores = _resolve_stores(out_dir)
     except ValueError:
         return None
-    mfiles = []
-    for store in stores:
-        mdir = os.path.join(store, "manifest")
-        if os.path.isdir(mdir):
-            mfiles += [os.path.join(mdir, f) for f in sorted(os.listdir(mdir))
-                       if f.startswith("b") and f.endswith(".parquet")]
+    mfiles = _manifest_files(stores)
     if not mfiles:
         return None
     stats_col = ds.dataset(mfiles).to_table(columns=["col_stats"]).column(0)
@@ -1104,6 +1099,17 @@ def _pushdown_sentinel(out_dir: str,
         if present.get(c) == n_chunks and nulls.get(c) == 0:
             return c
     return None
+
+
+def _decode_any_root(spark: SparkSession, out_dir: str,
+                     columns: list[str] | None = None) -> DataFrame:
+    """Exact decode of a single store OR a stream-sink root (batch=N
+    stores) — the pushdown path accepts both shapes, so its fallback
+    must too."""
+    if os.path.exists(os.path.join(out_dir, "_schema.json")):
+        return decode_table(spark, out_dir, columns)
+    from .streaming import decode_stream_table
+    return decode_stream_table(spark, out_dir, columns=columns)
 
 
 def register_decoded_view(spark: SparkSession, out_dir: str, name: str,
@@ -1159,7 +1165,7 @@ def register_decoded_view(spark: SparkSession, out_dir: str, name: str,
                 f"stale-scan-cache workaround (see docstring) cannot be "
                 f"applied safely; registering the exact decode view "
                 f"without planning-time pruning instead")
-            df = decode_table(spark, out_dir, columns)
+            df = _decode_any_root(spark, out_dir, columns)
         else:
             register_dumpster_source(spark)
             r = spark.read.format("dumpster").option("path", out_dir)

@@ -208,7 +208,14 @@ def encode_stream_multischema(stream_df: DataFrame, out_dir: str, *,
 
 
 def batch_dirs(out_dir: str) -> list[str]:
-    return sorted(glob.glob(os.path.join(out_dir, "batch=*")))
+    """COMMITTED micro-batch stores only: a ``batch=N`` dir without
+    ``_schema.json`` is an in-flight or failed V2-sink batch (the stream
+    sink publishes schema + manifests at commit) — readers must not see
+    it, or every decode racing a live stream would crash on the missing
+    schema.  The foreachBatch path publishes its schema before chunks,
+    so its dirs always qualify."""
+    return sorted(d for d in glob.glob(os.path.join(out_dir, "batch=*"))
+                  if os.path.exists(os.path.join(d, "_schema.json")))
 
 
 def decode_stream_table(spark: SparkSession, out_dir: str,

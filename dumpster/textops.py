@@ -290,7 +290,10 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
            .groupBy(id_col, "__w").agg(F.count("*").alias("__c"))
            .groupBy(id_col).agg((F.max("__c") / F.sum("__c"))
                                 .alias("top_word_frac")))
-    return per_row.join(top, on=id_col)
+    # LEFT join: a NULL-text doc explodes to no word rows, and an inner
+    # join would silently drop it from the signals table — it must stay,
+    # with NULL signals, so downstream filtering can still see/audit it
+    return per_row.join(top, on=id_col, how="left")
 
 
 _URL_PREFIX_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
@@ -305,8 +308,9 @@ def canonical_url(url: Column) -> Column:
     scheme+authority lowercased (path/query case preserved), fragment
     stripped, default ports :80 (http) / :443 (https) removed, empty
     path after a bare authority becomes '/'.  Bracketed IPv6
-    authorities are passed through un-canonicalized.  Scheme-less
-    strings only get the fragment strip.
+    authorities receive the same treatment (hex digits lowercased —
+    RFC 5952's canonical text form — and default ports stripped).
+    Scheme-less strings only get the fragment strip.
     """
     prefix = F.regexp_extract(url, _URL_PREFIX_RE, 0)
     rest = F.regexp_replace(F.substr(url, F.length(prefix) + F.lit(1)),
@@ -415,7 +419,7 @@ def repetition_signals_sql(text_expr: str = "text",
                FROM t)
         SELECT pr.doc_id, pr.n_words, pr.distinct_word_ratio,
                pr.dup_trigram_frac, top.top_word_frac
-        FROM pr JOIN top USING (doc_id)
+        FROM pr LEFT JOIN top USING (doc_id)
     """
 
 

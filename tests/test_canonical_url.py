@@ -36,3 +36,16 @@ def test_no_python_in_plan(spark):
     plan = df.select(textops.canonical_url(F.col("url")))._jdf \
         .queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_ipv6_authority_canonicalized(spark):
+    """Bracketed IPv6 hosts get the same treatment: hex lowercased
+    (RFC 5952 text form) and default ports stripped."""
+    df = spark.createDataFrame(
+        [(1, "HTTP://[2001:DB8::1]:80/x"), (2, "https://[::1]:8443/y")],
+        "i int, url string")
+    got = {r["i"]: r["c"] for r in
+           df.select("i", textops.canonical_url(F.col("url"))
+                     .alias("c")).collect()}
+    assert got[1] == "http://[2001:db8::1]/x"
+    assert got[2] == "https://[::1]:8443/y"

@@ -57,3 +57,15 @@ def test_no_python_udf_in_plan(spark):
     plan = textops.repetition_signals(docs)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "EvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_null_text_doc_is_preserved(spark):
+    """A NULL-text doc explodes to no word rows; the signals table must
+    still carry it (NULL signals), not silently shrink."""
+    docs = spark.createDataFrame([(1, "a b c"), (2, None)],
+                                 "doc_id int, text string")
+    rows = {r["doc_id"]: r.asDict()
+            for r in textops.repetition_signals(docs).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[2]["n_words"] is None
+    assert rows[2]["top_word_frac"] is None

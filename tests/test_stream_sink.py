@@ -163,3 +163,32 @@ def test_stream_sink_rejects_bucket_col(spark, tmp_path):
              .option("checkpointLocation", str(tmp_path / "c2"))
              .trigger(availableNow=True).start())
         q.awaitTermination(60)
+
+
+def test_uncommitted_batch_dirs_invisible(spark, tmp_path):
+    """A batch=N dir without _schema.json (in-flight or failed sink
+    batch) must be invisible to every stream reader and to the format's
+    stream-root resolution."""
+    import os
+    src = str(tmp_path / "s5src")
+    out = str(tmp_path / "s5out")
+    _write_batch_files(spark, src, 0, 100)
+    q = (spark.readStream
+         .schema("doc_id long, lang string, text string").parquet(src)
+         .writeStream.format("dumpster")
+         .option("path", out).option("chunk_rows", "64")
+         .option("checkpointLocation", str(tmp_path / "s5ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    # simulate an in-flight batch: chunks, no schema/manifests yet
+    os.makedirs(os.path.join(out, "batch=000099", "chunks"))
+    with open(os.path.join(out, "batch=000099", "chunks", "junk.dmc"),
+              "wb") as f:
+        f.write(b"partial")
+    assert len(batch_dirs(out)) == 1           # committed batch only
+    assert decode_stream_table(spark, out).count() == 100
+    assert spark.read.format("dumpster").option("path", out) \
+        .load().count() == 100
+    # the fallback decode helper accepts the stream root too
+    from dumpster.engine import _decode_any_root
+    assert _decode_any_root(spark, out).count() == 100

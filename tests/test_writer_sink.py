@@ -245,3 +245,40 @@ def test_written_store_supports_pushdown(spark, tmp_path):
     want = df.filter(F.col("doc_id").between(40, 80)) \
         .select("doc_id", "lang").orderBy("doc_id")
     assert got.collect() == want.collect()
+
+
+def test_concurrent_bucket_col_writers_serialize(spark, tmp_path):
+    """Two bucket_col writers racing on a FRESH store: chunks are
+    job-namespaced (no clobber) and the second commit fails loud on the
+    first's manifests — the winner's data stays exact."""
+    import threading
+    out = str(tmp_path / "wcc")
+    pages = spark.range(0, 200).select(
+        F.concat(F.lit("https://h"), (F.col("id") % 5).cast("string"),
+                 F.lit(".example/"), F.col("id").cast("string"))
+        .alias("url"), F.col("id").alias("doc_id"))
+    prepped = pipeline.prep_for_encode(pages, "url", n_buckets=4)
+    results = {}
+
+    def job(tag):
+        try:
+            spark._jvm.org.apache.spark.sql.classic.SparkSession \
+                .setActiveSession(spark._jsparkSession)
+            prepped.write.format("dumpster").option("path", out) \
+                .option("bucket_col", "__bucket").mode("append").save()
+            results[tag] = "ok"
+        except Exception as e:
+            results[tag] = e
+
+    ts = [threading.Thread(target=job, args=(t,)) for t in ("a", "b")]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    outcomes = sorted("ok" if v == "ok" else "err" for v in results.values())
+    # at least one commits; if both raced to commit, exactly one wins
+    assert outcomes in (["err", "ok"], ["ok", "ok"])
+    if outcomes == ["err", "ok"]:
+        err = next(v for v in results.values() if v != "ok")
+        assert "concurrent bucket_col writer" in str(err)
+    got = spark.read.format("dumpster").option("path", out).load()
+    assert got.count() == 200          # winner's rows, exact — no mixing
+    assert got.exceptAll(pages).count() == 0
