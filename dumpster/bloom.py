@@ -175,3 +175,26 @@ def bloom_might_contain(bitmap, desc: dict, value: bytes) -> bool:
 
 def want_bloom(n_valid: int, data_bytes: int) -> bool:
     return n_valid >= MIN_ROWS and data_bytes <= MAX_AVG_LEN * n_valid
+
+
+def bloom_rejects_file(path: str, preds) -> bool:
+    """Task-side bloom gate shared by the decode reader and the Python
+    DataSource: ``preds`` is an iterable of ``(column, candidate byte
+    values)`` — True iff some predicate's ENTIRE candidate set is
+    provably absent from the chunk's bloom sections (never a false
+    negative, so skipping the file is exact).  Unreadable/absent bloom
+    sections mean "cannot prune" — the file proceeds to decode, whose
+    own error handling governs."""
+    from .chunk import read_blooms
+    try:
+        blooms = read_blooms(path, [c for c, _ in preds])
+    except Exception:
+        return False
+    for col, values in preds:
+        got = blooms.get(col)
+        if got is None:
+            continue
+        desc, bitmap = got
+        if not any(bloom_might_contain(bitmap, desc, v) for v in values):
+            return True
+    return False

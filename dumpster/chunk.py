@@ -230,6 +230,14 @@ def encode_chunk_pieces(batch: pa.RecordBatch, *, table_id: str = "t",
     payloads into one bytes object; the caller streams the pieces to disk.
     """
     n_rows = batch.num_rows
+    for nm in batch.schema.names:
+        if nm.startswith("__bloom:"):
+            # the container stores bloom index sections under this
+            # prefix; a data column named like one would be skipped as
+            # an index on decode (silent all-NULL loss)
+            raise ValueError(
+                f"column name {nm!r} collides with the chunk container's "
+                f"bloom-section namespace ('__bloom:'); rename it")
     schema_bytes = batch.schema.serialize().to_pybytes()
     out: list = [MAGIC2]
     pos = 4
@@ -584,8 +592,16 @@ def read_blooms(path: str, cols: list[str] | None = None,
             return memoryview(f.read(n))
 
         tail = read(size - _TAIL_LEN, _TAIL_LEN)
-        flen, _fcrc = struct.unpack_from("<II", tail, 0)
+        flen, fcrc = struct.unpack_from("<II", tail, 0)
+        if flen > size - _TAIL_LEN:
+            return out       # corrupt tail length — no pruning, no crash
         foot_b = read(size - _TAIL_LEN - flen, flen)
+        # a bit-flipped tail with intact magic would otherwise send a
+        # garbage offset into read() and arbitrary bytes into json.loads —
+        # failing a scan whose COLUMN data is perfectly readable; an
+        # unverifiable footer just means "cannot prune here"
+        if zlib.crc32(foot_b) & 0xFFFFFFFF != fcrc:
+            return out
         footer = json.loads(bytes(foot_b))
         for name, off, ln, crc in footer["cols"]:
             if not name.startswith("__bloom:"):

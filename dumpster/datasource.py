@@ -166,6 +166,15 @@ class DumpsterReader(DataSourceReader):
     def __init__(self, options: dict, schema: StructType):
         self.out_dir = options["path"]
         self.stores = _resolve_stores(self.out_dir)
+        # planning-time-static: resolved ONCE on the driver — read()
+        # runs per partition executor-side, and re-deriving the union
+        # schema there would re-open every store's _schema.json for
+        # every task (hundreds of batch=N dirs × hundreds of partitions)
+        try:
+            self.full_names = [f.name
+                               for f in _union_schema(self.stores).fields]
+        except Exception:
+            self.full_names = [f.name for f in schema.fields]
         self.on_error = options.get("on_error", "raise")
         self.target_bytes = int(options.get("target_bytes",
                                             _DEFAULT_TARGET_BYTES))
@@ -242,6 +251,15 @@ class DumpsterReader(DataSourceReader):
             yield f
 
     def _narrow(self, col: str, lo, hi) -> None:
+        # normalize str bounds to bytes at INSERTION: StringStartsWith
+        # contributes a bytes upper bound (_inc_bytes), and max/min
+        # between a str from one filter and bytes from another raises
+        # TypeError — previously swallowed by pushFilters' blanket
+        # except, silently losing that filter's pruning
+        if isinstance(lo, str):
+            lo = lo.encode()
+        if isinstance(hi, str):
+            hi = hi.encode()
         z = self.zones.setdefault(col, [None, None])
         if lo is not None:
             z[0] = lo if z[0] is None else max(z[0], lo)
@@ -317,11 +335,8 @@ class DumpsterReader(DataSourceReader):
         # ranged per-column reads only when the registration projected a
         # subset — a full read is one sequential pass (cheaper than
         # per-column seeks when every byte is needed anyway)
-        try:
-            full_names = [f.name for f in _union_schema(self.stores).fields]
-        except Exception:
-            full_names = self.names
-        columns = self.names if set(self.names) < set(full_names) else None
+        columns = self.names if set(self.names) < set(self.full_names) \
+            else None
         for fp in partition.files:
             try:
                 if self.eq_sets and self._bloom_rejects(fp):
@@ -343,23 +358,11 @@ class DumpsterReader(DataSourceReader):
 
     def _bloom_rejects(self, fp: str) -> bool:
         """True iff some pushed membership predicate's ENTIRE value set is
-        provably absent from this chunk's bloom section (bloom.py — never
-        a false negative, so skipping the file is exact).  Costs one tail
-        ranged read per file, never the column data."""
-        from .bloom import bloom_might_contain
-        from .chunk import read_blooms
-        try:
-            blooms = read_blooms(fp, [c for c, _ in self.eq_sets])
-        except Exception:
-            return False  # unreadable bloom section → fall through to decode
-        for col, values in self.eq_sets:
-            got = blooms.get(col)
-            if got is None:
-                continue  # no bloom for this column → cannot prune
-            desc, bitmap = got
-            if not any(bloom_might_contain(bitmap, desc, v) for v in values):
-                return True
-        return False
+        provably absent from this chunk's bloom section (shared gate:
+        bloom.bloom_rejects_file).  Costs one tail ranged read per file,
+        never the column data."""
+        from .bloom import bloom_rejects_file
+        return bloom_rejects_file(fp, self.eq_sets)
 
 
 # -- write path --------------------------------------------------------------

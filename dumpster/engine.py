@@ -427,14 +427,19 @@ def encode_table_multischema(df: DataFrame, out_dir: str, *,
         raise ValueError(f"schema column {schema_col!r} not in input "
                          f"{df.columns}")
     known = sorted(schemas)
+    # NULL schema ids must also trip the guard: ~isin(...) evaluates to
+    # NULL for them (three-valued logic) and a bare filter would pass
+    # them through UNCOUNTED while every per-generation equality filter
+    # below excludes them — the exact silent drop this error forbids
     stray = (df.select(schema_col)
-             .filter(~F.col(schema_col).isin(list(known)))
+             .filter(~F.col(schema_col).isin(list(known))
+                     | F.col(schema_col).isNull())
              .limit(1).count())
     if stray:
         raise ValueError(
-            f"input contains schema ids outside {known}; register the new "
-            f"generation in `schemas` (records must never be dropped "
-            f"silently)")
+            f"input contains schema ids outside {known} (or NULL); "
+            f"register the new generation in `schemas` (records must "
+            f"never be dropped silently)")
     from .pipeline import salted_bucket
     tid = table_id or os.path.basename(os.path.normpath(out_dir))
     for g, sid in enumerate(known):
@@ -1041,16 +1046,13 @@ def decode_tables(spark: SparkSession, dirs: list[str], *,
         except Exception:
             pass
         if eq_preds:
-            from .bloom import bloom_might_contain
-            from .chunk import read_blooms
+            from .bloom import bloom_rejects_file
         for b in batches:
             for fp in b.column(0).to_pylist():
                 try:
-                    if eq_preds:
-                        bl = read_blooms(fp, [c for c, _ in eq_preds])
-                        if any(c in bl and not bloom_might_contain(
-                                bl[c][1], bl[c][0], v) for c, v in eq_preds):
-                            continue
+                    if eq_preds and bloom_rejects_file(
+                            fp, [(c, (v,)) for c, v in eq_preds]):
+                        continue
                     yield _pad_missing(decode_chunk_file(
                         fp, columns=names if pruned else None))
                 except Exception:

@@ -131,28 +131,45 @@ def file_lock(lock_path: str, timeout: float = 30.0, stale: float = 120.0):
     (crashed holder), at which point a waiter breaks it.
     """
     deadline = time.monotonic() + timeout
+    token = f"{os.getpid()}@{os.uname().nodename}:{os.urandom(8).hex()}"
     while True:
         try:
             fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(fd, f"{os.getpid()}@{os.uname().nodename}".encode())
+            os.write(fd, token.encode())
             os.close(fd)
             break
         except FileExistsError:
             try:
                 if time.time() - os.path.getmtime(lock_path) > stale:
-                    os.unlink(lock_path)  # break a crashed holder's lock
+                    # break a crashed holder's lock ATOMICALLY: rename to
+                    # a unique victim name first — only one waiter's
+                    # rename succeeds, so a second waiter with a stale
+                    # stat result can never unlink the FRESH lock the
+                    # first waiter is about to take (TOCTOU)
+                    victim = f"{lock_path}.broken.{os.urandom(6).hex()}"
+                    os.rename(lock_path, victim)
+                    os.unlink(victim)
                     continue
             except FileNotFoundError:
                 continue  # holder released between open and stat — retry
             if time.monotonic() > deadline:
+                try:
+                    holder = open(lock_path).read()
+                except OSError:
+                    holder = "<released>"
                 raise TimeoutError(
                     f"could not acquire {lock_path} within {timeout}s "
-                    f"(held by {open(lock_path).read()!r}?)")
+                    f"(held by {holder!r}?)")
             time.sleep(0.02)
     try:
         yield
     finally:
+        # release only OUR lock: if this critical section outlived
+        # `stale` and a waiter broke the lock, the file now belongs to a
+        # new holder — unconditional unlink would steal it
         try:
-            os.unlink(lock_path)
-        except FileNotFoundError:
+            with open(lock_path) as f:
+                if f.read() == token:
+                    os.unlink(lock_path)
+        except OSError:
             pass

@@ -108,3 +108,98 @@ def test_minibatch_training_improves_recall(clustered_emb):
     r0, r1 = recall(first_k), recall(trained)
     assert r1 > r0, (r0, r1)
     assert r1 >= 0.95
+
+
+# --- round-3 continuation review fixes ------------------------------------
+
+def test_multischema_null_schema_id_refused(spark, tmp_path):
+    """NULL schema ids fell through the stray guard (three-valued ~isin)
+    and were silently written to no generation."""
+    import pytest
+    from dumpster.engine import encode_table_multischema
+    df = spark.createDataFrame(
+        [(1, "s1", "a"), (2, None, "b")],
+        "doc_id int, schema_id string, payload string")
+    with pytest.raises(ValueError, match="NULL"):
+        encode_table_multischema(
+            df, str(tmp_path / "ms"), schema_col="schema_id",
+            schemas={"s1": ["doc_id", "payload"]}, n_buckets=2,
+            chunk_rows=64)
+
+
+def test_bloom_namespace_column_rejected():
+    """A data column named __bloom:* would be skipped as an index on
+    decode (silent all-NULL loss) — encode must refuse it."""
+    import pyarrow as pa
+    import pytest
+    from dumpster.chunk import encode_chunk
+    b = pa.RecordBatch.from_arrays(
+        [pa.array([1, 2]), pa.array(["x", "y"])],
+        names=["ok", "__bloom:url"])
+    with pytest.raises(ValueError, match="__bloom"):
+        encode_chunk(b)
+
+
+def test_file_lock_release_only_own_token(tmp_path):
+    """A holder whose lock was stale-broken must NOT unlink the next
+    holder's fresh lock on exit."""
+    import os
+    from dumpster import fs as fslib
+    lock = str(tmp_path / "l.lock")
+    ctx = fslib.file_lock(lock, timeout=2, stale=120)
+    ctx.__enter__()
+    # simulate a waiter breaking the lock and becoming the new holder
+    os.unlink(lock)
+    with open(lock, "w") as f:
+        f.write("someone-else")
+    ctx.__exit__(None, None, None)
+    assert os.path.exists(lock)            # new holder's lock survives
+    assert open(lock).read() == "someone-else"
+    os.unlink(lock)
+
+
+def test_read_blooms_corrupt_tail_returns_empty(tmp_path):
+    """A bit-flipped footer length with intact tail magic must mean
+    'cannot prune', not a garbage ranged read / json crash."""
+    import struct
+    import pyarrow as pa
+    from dumpster.chunk import encode_chunk, read_blooms, _TAIL_LEN
+    vals = [f"v{i}" for i in range(2048)]
+    b = pa.RecordBatch.from_arrays([pa.array(vals)], names=["url"])
+    blob, _ = encode_chunk(b)
+    p = str(tmp_path / "c.dmc")
+    with open(p, "wb") as f:
+        f.write(bytes(blob))
+    assert read_blooms(p, ["url"])         # healthy file has the bloom
+    raw = bytearray(open(p, "rb").read())
+    flen = struct.unpack_from("<I", raw, len(raw) - _TAIL_LEN)[0]
+    struct.pack_into("<I", raw, len(raw) - _TAIL_LEN, flen ^ 0x4)
+    with open(p, "wb") as f:
+        f.write(raw)
+    assert read_blooms(p, ["url"]) == {}   # no pruning, no crash
+
+
+def test_mixed_prefix_and_range_pruning_compose(spark, tmp_path):
+    """LIKE 'prefix%' (bytes upper bound) + a str range predicate on the
+    same column previously hit a swallowed TypeError and lost pruning;
+    they must now compose into a narrower chunk-file plan."""
+    import pyspark.sql.functions as F
+    from dumpster.datasource import DumpsterReader
+    from pyspark.sql.datasource import LessThan, StringStartsWith
+    from dumpster.engine import encode_table, table_schema
+    out = str(tmp_path / "pfx")
+    docs = spark.range(0, 400).select(
+        F.concat(F.lit("k"), F.lpad(F.col("id").cast("string"), 4, "0"))
+        .alias("key"))
+    encode_table(docs.orderBy("key"), out, bucket_expr=F.lit(0),
+                 n_buckets=1, chunk_rows=64, order_cols=("key",),
+                 table_id="pfx")
+    schema = table_schema(out)
+    rd_all = DumpsterReader({"path": out}, schema)
+    n_all = sum(len(p.files) for p in rd_all.partitions())
+    rd = DumpsterReader({"path": out}, schema)
+    list(rd.pushFilters([StringStartsWith(("key",), "k0"),
+                         LessThan(("key",), "k0100")]))
+    n = sum(len(p.files) for p in rd.partitions())
+    assert 0 < n < n_all                    # both predicates engaged
+    assert n <= 2                           # ~100 rows / 64-row chunks
