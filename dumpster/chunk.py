@@ -120,6 +120,33 @@ def _int64_view_type(t: pa.DataType) -> pa.DataType:
     return pa.int64()
 
 
+def _is_32bit_temporal(t: pa.DataType) -> bool:
+    return pa.types.is_date32(t) or (pa.types.is_time(t)
+                                     and t.bit_width == 32)
+
+
+def _int_bridge_values(dense: pa.Array) -> np.ndarray:
+    """_KIND_INT → int64 NumPy values, covering the full type family:
+    date32/time32 have no direct int64 cast (two-step via int32), and
+    uint64 ≥ 2^63 fails Arrow's checked cast — it bit-views instead
+    (modular FOR/delta arithmetic keeps the round trip exact)."""
+    t = dense.type
+    if pa.types.is_uint64(t):
+        return np.asarray(dense.view(pa.int64()))
+    if _is_32bit_temporal(t):
+        return np.asarray(dense.cast(pa.int32()).cast(pa.int64()))
+    return np.asarray(dense.cast(pa.int64()))
+
+
+def _int_bridge_restore(arr: pa.Array, target_type: pa.DataType) -> pa.Array:
+    """Inverse of :func:`_int_bridge_values` for an int64-typed array."""
+    if pa.types.is_uint64(target_type):
+        return arr.view(pa.uint64())
+    if _is_32bit_temporal(target_type):
+        return arr.cast(pa.int32()).cast(target_type)
+    return arr.cast(target_type)
+
+
 def _dense_and_validity(arr: pa.Array) -> tuple[pa.Array, np.ndarray | None]:
     if arr.null_count == 0:
         return arr, None
@@ -345,7 +372,7 @@ def encode_chunk_pieces(batch: pa.RecordBatch, *, table_id: str = "t",
             n_valid = len(dense)
             raw_bytes = _raw_size(dense, kind)
             if kind == _KIND_INT:
-                vals = np.asarray(dense.cast(_int64_view_type(arr.type)))
+                vals = _int_bridge_values(dense)
             else:
                 vals = np.asarray(dense)
             if plain_only:
@@ -364,11 +391,29 @@ def encode_chunk_pieces(batch: pa.RecordBatch, *, table_id: str = "t",
         vmin = vmax = None
         if vals is not None and n_valid:
             if vals.dtype.kind == "f":
-                finite = vals[np.isfinite(vals)]
-                if len(finite):  # NaN/inf never poison the zone map
-                    vmin, vmax = finite.min().item(), finite.max().item()
+                # only NaN is excluded (unordered); ±inf ARE ordered
+                # values — excluding them made pruning drop chunks whose
+                # only matching rows were infinities
+                ordered = vals[~np.isnan(vals)]
+                if len(ordered):
+                    vmin, vmax = ordered.min().item(), ordered.max().item()
+            elif pa.types.is_uint64(arr.type):
+                pass   # int64 bit-views of ≥2^63 values order wrongly —
+                       # no zone map rather than a wrong one
             else:
                 vmin, vmax = vals.min().item(), vals.max().item()
+            if vmin is not None and pa.types.is_timestamp(arr.type):
+                # zone values normalize to MICROSECONDS (the unit every
+                # predicate is normalized to, engine._stat_value) with
+                # conservative rounding — a ns/ms/s-unit column otherwise
+                # pruned on raw-unit numbers and lost matching chunks
+                unit = arr.type.unit
+                if unit == "ns":
+                    vmin, vmax = vmin // 1000, -(-vmax // 1000)
+                elif unit == "ms":
+                    vmin, vmax = vmin * 1000, vmax * 1000
+                elif unit == "s":
+                    vmin, vmax = vmin * 1_000_000, vmax * 1_000_000
         vbm = np.packbits(valid, bitorder="little").tobytes() if valid is not None else b""
         desc = {"name": name, "codec": codec, "zlib": int(zl), "kind": kind,
                 "meta": meta, "n_valid": n_valid}
@@ -718,6 +763,8 @@ def _decode_column(desc: dict, vbm: bytes, payload: bytes, n_rows: int,
         null_count=-1 if valid is not None else 0)
     if target_type == pa.bool_():
         return arr.cast(pa.bool_())
+    if kind == _KIND_INT:
+        return _int_bridge_restore(arr, target_type)
     return arr.cast(target_type)
 
 

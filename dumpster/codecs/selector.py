@@ -44,6 +44,10 @@ from .rle import (decode_rle_fixed, decode_rle_var, encode_rle_fixed,
 # the zlib-aware estimate picks it only when transpose+zlib beats the
 # alternatives' final stored size.
 FIXED_INT_CODECS = (PLAIN, DICT, RLE, FOR, DELTA_FOR, BSS)
+# NOTE: unreachable through select_encode_fixed (floats are re-dispatched
+# as their integer bit pattern before candidates are chosen — see its
+# docstring); kept only for direct codec-API callers encoding float
+# arrays without the bit-view bridge.
 FIXED_FLOAT_CODECS = (PLAIN, DICT, RLE, BSS)
 VAR_CODECS = (PLAIN, DICT, RLE, FSST)
 
@@ -158,7 +162,6 @@ def select_encode_fixed(vals: np.ndarray, seed: int,
     cands = _candidates_fixed(vals)
     idx = _sample_idx(n, seed)
     sample = vals[idx]
-    scale = n / max(len(idx), 1)
     # ORDER-SENSITIVE codecs (delta, RLE) must be estimated on a contiguous
     # run: a scattered sample inflates deltas ~n/k× and shatters runs, so
     # they lose selection on exactly the data they are best at (sorted

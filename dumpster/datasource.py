@@ -781,9 +781,9 @@ def _zone_value(v):
     import datetime
     if isinstance(v, bool):
         return int(v)
-    if isinstance(v, datetime.datetime):
+    if isinstance(v, (datetime.datetime, datetime.date)):
         from .engine import _stat_value
-        return _stat_value(v)
+        return _stat_value(v)   # µs for timestamps, epoch days for dates
     if isinstance(v, (int, float, str, bytes)):
         return v
     return None

@@ -638,12 +638,15 @@ def _evolve_schema(old: StructType, new: StructType) -> StructType:
 
 def _stat_value(v):
     """Normalise a predicate bound to the manifest's int64/float stat space
-    (timestamps stored as int64 microseconds, UTC)."""
+    (timestamps stored as int64 microseconds UTC — chunk stats normalize
+    ns/ms/s-unit columns to µs at encode; dates as days since epoch)."""
     import datetime
     if isinstance(v, datetime.datetime):
         if v.tzinfo is None:
             v = v.replace(tzinfo=datetime.timezone.utc)
         return int(v.timestamp() * 1_000_000)
+    if isinstance(v, datetime.date):
+        return (v - datetime.date(1970, 1, 1)).days
     return v
 
 
@@ -673,7 +676,9 @@ def prune_manifest_files(manifest_rows, zone_filter) -> list[str]:
                 continue
             if s.get("vmin") is None:
                 continue  # no stats → cannot prune on this column
-            if s["vmax"] < lo or s["vmin"] > hi:
+            # None = open bound (same contract as the DataSource path)
+            if (lo is not None and s["vmax"] < lo) \
+                    or (hi is not None and s["vmin"] > hi):
                 ok = False
                 break
         if ok:

@@ -203,3 +203,91 @@ def test_mixed_prefix_and_range_pruning_compose(spark, tmp_path):
     n = sum(len(p.files) for p in rd.partitions())
     assert 0 < n < n_all                    # both predicates engaged
     assert n <= 2                           # ~100 rows / 64-row chunks
+
+
+# --- codec/container-layer review fixes ------------------------------------
+
+def _rt(batch):
+    """encode → decode → (decoded batch, stats)."""
+    from dumpster.chunk import decode_chunk, encode_chunk
+    blob, stats = encode_chunk(batch)
+    return decode_chunk(bytes(blob)), stats
+
+
+def test_date32_time32_roundtrip():
+    """Spark DateType arrives as Arrow date32; the single-step int64 cast
+    raised ArrowNotImplementedError and failed every date-bearing table."""
+    import datetime
+    import pyarrow as pa
+    d = [datetime.date(2024, 1, 1), None, datetime.date(1969, 12, 31)]
+    t = [datetime.time(1, 2, 3), datetime.time(0, 0), None]
+    b = pa.RecordBatch.from_arrays(
+        [pa.array(d, pa.date32()), pa.array(t, pa.time32("s"))],
+        names=["d", "t"])
+    back, _ = _rt(b)
+    assert back.column(0).to_pylist() == d
+    assert back.column(1).to_pylist() == t
+
+
+def test_uint64_above_int63_roundtrip():
+    """uint64 ≥ 2^63 overflowed Arrow's checked int64 cast; the bit-view
+    bridge must round-trip exactly, and the zone map must be absent
+    (int64 views of such values order wrongly)."""
+    import json
+    import pyarrow as pa
+    vals = [2**64 - 1, 0, 5, None, 2**63]
+    b = pa.RecordBatch.from_arrays([pa.array(vals, pa.uint64())],
+                                   names=["u"])
+    back, stats = _rt(b)
+    assert back.column(0).to_pylist() == vals
+    assert stats[0]["vmin"] is None and stats[0]["vmax"] is None
+
+
+def test_float_inf_in_zone_map():
+    """±inf are ordered values: excluding them from vmin/vmax made range
+    pruning drop chunks whose only matching rows were infinities."""
+    import math
+    import pyarrow as pa
+    from dumpster.engine import prune_manifest_files
+    b = pa.RecordBatch.from_arrays(
+        [pa.array([1.0, 2.0, math.inf, -math.inf, math.nan])],
+        names=["f"])
+    back, stats = _rt(b)
+    assert stats[0]["vmax"] == math.inf and stats[0]["vmin"] == -math.inf
+    import json as _json
+    row = {"file": "x.dmc", "n_rows": 5,
+           "col_stats": _json.dumps(stats)}
+    kept = prune_manifest_files([row], [("f", 10.0, None)])
+    assert kept == ["x.dmc"]            # the inf row matches f >= 10
+
+
+def test_timestamp_ns_zone_map_in_micros():
+    """Non-µs timestamp columns stored native-unit zone values while every
+    predicate normalizes to µs — matching chunks were pruned away."""
+    import datetime
+    import json
+    import numpy as np
+    import pyarrow as pa
+    from dumpster.engine import _stat_value, prune_manifest_files
+    ts = pa.array(np.array(["2023-01-01T00:00:00", "2023-06-01T10:30:00"],
+                           dtype="datetime64[ns]"))
+    b = pa.RecordBatch.from_arrays([ts], names=["t"])
+    back, stats = _rt(b)
+    assert back.column(0).type == pa.timestamp("ns")
+    assert back.column(0).to_pylist() == ts.to_pylist()
+    hi = _stat_value(datetime.datetime(2024, 1, 1,
+                                       tzinfo=datetime.timezone.utc))
+    row = {"file": "y.dmc", "n_rows": 2, "col_stats": json.dumps(stats)}
+    assert prune_manifest_files([row], [("t", None, hi)]) == ["y.dmc"]
+    lo_2025 = _stat_value(datetime.datetime(2025, 1, 1,
+                                            tzinfo=datetime.timezone.utc))
+    assert prune_manifest_files([row], [("t", lo_2025, None)]) == []
+
+
+def test_date_predicate_normalizes_to_days():
+    """datetime.date predicate bounds must land in the date32 stat space
+    (epoch days), not pass through as objects."""
+    import datetime
+    from dumpster.engine import _stat_value
+    assert _stat_value(datetime.date(1970, 1, 2)) == 1
+    assert _stat_value(datetime.date(1969, 12, 31)) == -1
