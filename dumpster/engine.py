@@ -343,6 +343,14 @@ def encode_table(df: DataFrame, out_dir: str, *, url_col: str | None = None,
                 "schema evolution of struct-typed tables is not supported; "
                 "encode flat columns or use a new out_dir")
         df = _flatten_df(df)
+        flat = df.columns
+        if len(set(flat)) != len(flat):
+            dupes = sorted({n for n in flat if flat.count(n) > 1})
+            raise ValueError(
+                f"struct flattening produced duplicate column names "
+                f"{dupes}: a NESTED field name containing {FLAT_SEP!r} "
+                f"(or named '__present') collides with the flattening "
+                f"scheme; rename the nested fields")
 
     _publish_table_schema(out_dir, _payload(df.schema))
 
@@ -410,12 +418,17 @@ def encode_table_multischema(df: DataFrame, out_dir: str, *,
     the stored union schema widens add-only and decode null-fills older
     generations.
 
-    Layout: generation g (by sorted schema id) owns the disjoint bucket
-    namespace [g·n_buckets, (g+1)·n_buckets) — chunk/manifest names are
-    keyed by bucket, so generations never collide and resume works per
-    generation.  Rows with an id not in ``schemas`` raise (mirror of the
-    decode-error-capture contract: silent drops are the one failure mode
-    never allowed).
+    Layout: generation g owns the disjoint bucket namespace
+    [g·n_buckets, (g+1)·n_buckets) — chunk/manifest names are keyed by
+    bucket, so generations never collide and resume works per
+    generation.  The id→g assignment is PERSISTED append-only in
+    ``_schema_gen.json`` (locked, like the hour→bucket map of the
+    partitioned path): deriving g from the ids' sort order would
+    renumber every later generation when a new id sorting earlier is
+    registered — resume would then skip live generations and
+    resume=False would collide different-schema chunk names.  Rows with
+    an id not in ``schemas`` raise (mirror of the decode-error-capture
+    contract: silent drops are the one failure mode never allowed).
 
     Plan shape: one filtered scan per generation (the per-generation
     chunk schema genuinely differs, so one encode job each); persist the
@@ -442,7 +455,21 @@ def encode_table_multischema(df: DataFrame, out_dir: str, *,
             f"never be dropped silently)")
     from .pipeline import salted_bucket
     tid = table_id or os.path.basename(os.path.normpath(out_dir))
-    for g, sid in enumerate(known):
+    os.makedirs(out_dir, exist_ok=True)
+    gen_path = os.path.join(out_dir, "_schema_gen.json")
+    with fslib.file_lock(gen_path + ".lock"):
+        gens: dict = {}
+        if os.path.exists(gen_path):
+            with open(gen_path) as f:
+                gens = json.load(f)
+        new = [sid for sid in known if str(sid) not in gens]
+        for sid in new:
+            gens[str(sid)] = len(gens)
+        if new:
+            _fs_write_atomic(gen_path,
+                             json.dumps(gens, sort_keys=True).encode())
+    for sid in known:
+        g = int(gens[str(sid)])
         cols = list(schemas[sid])
         sub = df.filter(F.col(schema_col) == sid).select(*cols)
         if url_col is not None and url_col in cols:
@@ -507,18 +534,24 @@ def encode_table_partitioned(df: DataFrame, out_dir: str, *,
     # hours keep their ids forever; new hours append at the next free id —
     # the same append-only contract as the reference's ADD PARTITION
     # (HiveClient.java:88-94).
+    # the read-modify-write runs under the store lock (same rationale as
+    # _publish_table_schema): two concurrent partitioned encodes would
+    # otherwise assign ONE bucket id to two different hours and the later
+    # hour's manifest would silently replace the earlier one
     map_path = os.path.join(out_dir, "_hour_buckets.json")
-    assigned: dict[str, int] = {}
-    if os.path.exists(map_path):
-        with open(map_path) as f:
-            assigned = json.load(f)
-    next_id = max(assigned.values(), default=-1) + 1
-    for dt, hr in keys:
-        k = f"{dt}/{hr:02d}"
-        if k not in assigned:
-            assigned[k] = next_id
-            next_id += 1
-    _fs_write_atomic(map_path, json.dumps(assigned, sort_keys=True).encode())
+    with fslib.file_lock(map_path + ".lock"):
+        assigned: dict[str, int] = {}
+        if os.path.exists(map_path):
+            with open(map_path) as f:
+                assigned = json.load(f)
+        next_id = max(assigned.values(), default=-1) + 1
+        for dt, hr in keys:
+            k = f"{dt}/{hr:02d}"
+            if k not in assigned:
+                assigned[k] = next_id
+                next_id += 1
+        _fs_write_atomic(map_path,
+                         json.dumps(assigned, sort_keys=True).encode())
     pairs = [(k.split("/")[0], int(k.split("/")[1]), i)
              for k, i in assigned.items()]
     subdirs = {i: f"dt={dt}/hr={hr:02d}" for dt, hr, i in pairs}
@@ -777,9 +810,17 @@ def clean_orphans(spark: SparkSession, out_dir: str, *,
                         if e.is_file() and (in_flight
                                             or e.name.endswith(".dmc")):
                             p = os.path.join(d, e.name)
+                            # rel is computed against the walk root, NOT
+                            # by searching the absolute path for
+                            # '/chunks/': realpath() resolves a
+                            # symlinked chunks dir to a target with no
+                            # such marker, and the basename fallback
+                            # then mismatched the manifest's
+                            # 'dt=.../name' keys — classifying EVERY
+                            # referenced chunk as an orphan
                             rows.append({
                                 "path": p,
-                                "rel": _chunks_relpath(p),
+                                "rel": os.path.relpath(p, chunks_root),
                                 "is_tmp": in_flight,
                                 "size": e.stat().st_size})
             yield pa.RecordBatch.from_pylist(rows, schema=pa.schema(
@@ -802,6 +843,19 @@ def clean_orphans(spark: SparkSession, out_dir: str, *,
             "files exist — refusing to delete (missing or unreadable "
             "manifest?).  Inspect with dry_run=True from a session that "
             "can read the manifest.")
+    if n_ref and n_dmc:
+        # rel-space sanity rail: if NOT ONE listed chunk matches ANY
+        # manifest-referenced rel key, the two key derivations have
+        # diverged (or the directory is foreign) and the anti-join would
+        # condemn everything — refuse rather than delete a live table
+        matched = (listing.filter(~F.col("is_tmp"))
+                   .join(ref_rel, "rel", "left_semi").limit(1).count())
+        if matched == 0:
+            raise ValueError(
+                "clean_orphans: no listed chunk file matches any "
+                "manifest-referenced file — rel-key mismatch or foreign "
+                "directory; refusing to delete. Inspect with "
+                "dry_run=True.")
 
     if dry_run:
         agg = doomed.agg(
@@ -910,16 +964,27 @@ def decode_tables(spark: SparkSession, dirs: list[str], *,
             # null-filled; genuine type conflicts raise
             full = _evolve_schema(full, other)
     logical = None
-    lpath = os.path.join(dirs[0], "_logical_schema.json")
-    if os.path.exists(lpath):
+    with_logical = [d for d in dirs
+                    if os.path.exists(os.path.join(d,
+                                                   "_logical_schema.json"))]
+    if with_logical:
+        # checking only dirs[0] let a flat-first dir list silently decode
+        # a struct-typed later dir as raw '@'-separated flat columns
+        if len(with_logical) != len(dirs):
+            flat_dirs = [d for d in dirs if d not in set(with_logical)]
+            raise ValueError(
+                f"cannot union struct-typed and flat tables: "
+                f"{with_logical[0]} carries a logical (struct) schema but "
+                f"{flat_dirs[0]} does not")
+        lpath = os.path.join(with_logical[0], "_logical_schema.json")
         with open(lpath) as f:
             logical = StructType.fromJson(json.load(f))
-        for d in dirs[1:]:
+        for d in with_logical[1:]:
             lp = os.path.join(d, "_logical_schema.json")
-            if not os.path.exists(lp) or open(lp).read() != open(lpath).read():
+            if open(lp).read() != open(lpath).read():
                 raise ValueError(
                     "struct-typed tables must share an identical logical "
-                    f"schema across dirs; {d} differs from {dirs[0]}")
+                    f"schema across dirs; {d} differs from {with_logical[0]}")
 
     visible = logical if logical is not None else full
     if columns is not None:
@@ -937,6 +1002,13 @@ def decode_tables(spark: SparkSession, dirs: list[str], *,
     else:
         fields = [f for f in full.fields
                   if columns is None or f.name in columns]
+    # every decoded field reports NULLABLE: old-generation chunks
+    # null-fill evolved columns, and a stored nullable=False would make
+    # the mapInArrow schema lie to Catalyst (nullable=False is an
+    # optimizer invariant — `WHERE col IS NULL` constant-folds to false
+    # over the padded rows and silently returns nothing)
+    fields = [StructField(f.name, f.dataType, nullable=True)
+              for f in fields]
     schema = StructType(fields)
     names = [f.name for f in fields]
 
@@ -982,7 +1054,9 @@ def decode_tables(spark: SparkSession, dirs: list[str], *,
                             continue
                         if s.get("vmin") is None:
                             continue  # no stats → cannot prune
-                        if s["vmax"] < lo or s["vmin"] > hi:
+                        # None = open bound (prune_manifest_files parity)
+                        if (lo is not None and s["vmax"] < lo) \
+                                or (hi is not None and s["vmin"] > hi):
                             ok = False
                             break
                     if ok:

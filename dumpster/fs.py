@@ -60,7 +60,23 @@ class RenameFS:
                 f.writelines(data)
             else:
                 f.write(data)
+            # fsync BEFORE the rename: without it a power loss after the
+            # rename can leave a durable name pointing at never-flushed
+            # blocks — the manifest would then reference truncated chunks
+            # and the manifest-after-chunks contract would be a lie
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp, path)
+        # dir fsync makes the RENAME itself durable (POSIX crash rule);
+        # without it the file can vanish from the directory after reboot
+        try:
+            dfd = os.open(os.path.dirname(path) or ".", os.O_RDONLY)
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
+        except OSError:
+            pass   # platform/FS without dir-fsync: best effort
 
 
 class DirectPutFS:

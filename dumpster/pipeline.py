@@ -41,6 +41,7 @@ def salted_bucket(url: Column | str, n_buckets: int, salt_k: int = 4) -> Column:
     salt_k to the observed head mass; both stay explicit knobs.
     """
     u = F.col(url) if isinstance(url, str) else url
+    salt_k = max(1, min(salt_k, n_buckets))  # ids must stay < n_buckets
     n_groups = max(n_buckets // salt_k, 1)
     host_group = F.pmod(F.xxhash64(host_of(u)), F.lit(n_groups))
     salt = F.pmod(F.xxhash64(u), F.lit(salt_k))
@@ -115,6 +116,10 @@ def salted_bucket_of_host(host: Column, url: Column, n_buckets: int,
                           salt_k: int = 4) -> Column:
     """salted_bucket with a precomputed host column (avoids re-running the
     host regexp once per consumer of the host)."""
+    # salt_k > n_buckets would emit ids up to salt_k-1, overflowing the
+    # [0, n_buckets) namespace consumers size against (e.g. the
+    # multischema per-generation ranges)
+    salt_k = max(1, min(salt_k, n_buckets))
     n_groups = max(n_buckets // salt_k, 1)
     host_group = F.pmod(F.xxhash64(host), F.lit(n_groups))
     salt = F.pmod(F.xxhash64(url), F.lit(salt_k))

@@ -288,6 +288,7 @@ def stateful_offset_dedup(stream_df: DataFrame,
     checkpointed max offset, survivors advance it, and the state survives
     restarts with the checkpoint.  Emits only first-seen rows.
     """
+    import numpy as np
     import pandas as pd
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -298,8 +299,15 @@ def stateful_offset_dedup(stream_df: DataFrame,
         last = state.get[0] if state.exists else -1
         outs = []
         for pdf in pdfs:
-            offs = pdf[offset_col]
-            keep = pdf[offs > last]
+            offs = pdf[offset_col].to_numpy()
+            # first-seen WITHIN the chunk too: a replay landing in the
+            # same micro-batch (offsets e.g. [5, 3, 5]) must emit only
+            # the first 5 — comparing every row against the same stale
+            # `last` re-emitted in-batch duplicates and regressions
+            prev_max = np.concatenate(
+                ([last], np.maximum.accumulate(offs)[:-1])) \
+                if len(offs) else np.empty(0, dtype=np.int64)
+            keep = pdf[offs > prev_max]
             if len(keep):
                 last = int(keep[offset_col].max())
                 outs.append(keep[[partition_col, offset_col]])
