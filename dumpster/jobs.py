@@ -73,6 +73,8 @@ class TableJob:
     # aggregate (G4's declarative form).
     checkpoint: str | None = None
     trigger_seconds: int | None = None   # None = availableNow (drain+stop)
+    run_for_seconds: int | None = None   # required with trigger_seconds:
+                                         # run_jobs is a BOUNDED runner
     watermark: str = "2 hours"
 
 
@@ -114,6 +116,7 @@ def load_config(path: str) -> JobConfig:
             chunk_rows=t.get("chunk_rows"),
             checkpoint=t.get("checkpoint"),
             trigger_seconds=t.get("trigger_seconds"),
+            run_for_seconds=t.get("run_for_seconds"),
             watermark=t.get("watermark", "2 hours")))
     if not cfg.tables:
         raise ValueError("config lists no tables")
@@ -137,12 +140,27 @@ def run_jobs(spark: SparkSession, cfg: JobConfig) -> list[dict]:
                                     hourly_windowed_counts, stream_manifest)
             stream = (spark.readStream.schema(df.schema)
                       .parquet(t.input))
+            if t.trigger_seconds is not None and not t.run_for_seconds:
+                raise ValueError(
+                    f"table {t.name}: trigger_seconds sets a CONTINUOUS "
+                    f"micro-batch cadence, but run_jobs is a bounded "
+                    f"runner — set run_for_seconds (how long to keep the "
+                    f"stream up) or drop trigger_seconds for the "
+                    f"drain-and-stop default")
             q = encode_stream_partitioned(
                 stream, out_dir,
                 checkpoint=t.checkpoint or os.path.join(out_dir, "_ckpt"),
                 ts_col=t.ts_col, chunk_rows=chunk_rows,
-                trigger_available_now=t.trigger_seconds is None)
-            q.awaitTermination()
+                trigger_available_now=t.trigger_seconds is None,
+                trigger_seconds=t.trigger_seconds)
+            if t.trigger_seconds is None:
+                q.awaitTermination()
+            else:
+                # the cadence previously never reached the writer AND the
+                # unbounded query was awaited forever — run_jobs hung
+                q.awaitTermination(t.run_for_seconds)
+                q.stop()
+                q.awaitTermination()
             if t.watermark:
                 # G4 side output: watermarked hourly counts — the
                 # declarative form of the reference's window-close

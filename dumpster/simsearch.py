@@ -36,6 +36,13 @@ from pyspark.sql import functions as F
 
 def _as_matrix(arr: pa.Array) -> np.ndarray:
     a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    if a.null_count:
+        # a NULL row contributes zero child values: reshape(n, -1) would
+        # then silently attribute every later row's values to the wrong
+        # id (or crash on a shape mismatch) — fail loud; public entry
+        # points pre-filter nulls
+        raise ValueError("embedding column contains NULL rows; filter "
+                         "them before similarity ops")
     flat = np.asarray(a.values, dtype=np.float64)
     n = len(a)
     return flat.reshape(n, -1) if n else flat.reshape(0, 0)
@@ -49,8 +56,12 @@ def brute_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
     engine-portable comparison; self-matches excluded; ties broken by
     neighbor_id.
     """
-    qrows = (emb.filter(F.col(id_col).isin(query_ids))
+    qrows = (emb.filter(F.col(id_col).isin(query_ids)
+                        & F.col(vec_col).isNotNull())
              .select(id_col, vec_col).collect())
+    if not qrows:   # unknown/typo ids: empty result, not an AxisError
+        return emb.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, sim double")
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     qmat = np.array([r[1] for r in qrows], dtype=np.float64)
     qnorm = np.linalg.norm(qmat, axis=1)
@@ -93,7 +104,11 @@ def _cosine_expr(a, b):
                             F.lit(0.0), lambda acc, v: acc + v))
     nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x),
                             F.lit(0.0), lambda acc, v: acc + v))
-    return dot / na / nb
+    # zero vectors: cosine is undefined — define it as 0 (never similar)
+    # instead of letting Spark 4's default ANSI mode abort the job with
+    # DIVIDE_BY_ZERO on the first padded/failed-decode embedding
+    return F.when((na == 0) | (nb == 0), F.lit(0.0)) \
+        .otherwise(dot / na / nb)
 
 
 def embedding_near_dups(emb: DataFrame, threshold: float = 0.9,
@@ -125,6 +140,7 @@ def lsh_signatures(emb: DataFrame, n_planes: int = 16, seed: int = 42,
     One broadcast matmul per Arrow batch; no shuffle — the signature is
     computed where the vector lives.
     """
+    emb = emb.filter(F.col(vec_col).isNotNull())  # no signature for NULLs
     first = emb.select(F.size(vec_col).alias("d")).first()
     if first is None:  # empty input: no dim to derive — empty signatures
         return emb.sparkSession.createDataFrame(
@@ -329,10 +345,12 @@ def ivf_cells(emb: DataFrame, n_cells: int = 16, id_col: str = "vec_id",
                  pa.array(cids[best], type=pa.int64()),
                  pa.array(sims[np.arange(len(ids)), best],
                           type=pa.float64())],
-                names=["vec_id", "cell", "sim"])
+                names=[id_col, "cell", "sim"])
 
+    # the output schema carries the CALLER'S id column name — hardcoding
+    # 'vec_id' broke every downstream select under a non-default id_col
     return emb.select(id_col, vec_col).mapInArrow(
-        assign, "vec_id long, cell long, sim double")
+        assign, f"{id_col} long, cell long, sim double")
 
 
 def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
@@ -396,6 +414,7 @@ def lsh_bucket_candidates(emb: DataFrame, n_planes: int = 12, seed: int = 42,
                           id_col: str = "vec_id",
                           vec_col: str = "embedding") -> DataFrame:
     """Sign-bit LSH bucketing; returns (bucket, n_vectors, member_min)."""
+    emb = emb.filter(F.col(vec_col).isNotNull())  # NULLs have no bucket
     first = emb.select(F.size(vec_col).alias("d")).first()
     if first is None:  # empty input
         return emb.sparkSession.createDataFrame(

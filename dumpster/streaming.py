@@ -29,7 +29,8 @@ from .engine import decode_table, encode_table, read_manifest, table_schema
 def encode_stream(stream_df: DataFrame, out_dir: str, *,
                   checkpoint: str, url_col: str | None = None,
                   bucket_expr=None, n_buckets: int = 32, salt_k: int = 4,
-                  chunk_rows: int = 65536, trigger_available_now: bool = True):
+                  chunk_rows: int = 65536, trigger_available_now: bool = True,
+                  trigger_seconds: int | None = None):
     """Stream → encoded chunks: one ``batch=N`` table per micro-batch.
 
     Exactly-once story (mirrors the reference's upload→commit ordering,
@@ -51,13 +52,16 @@ def encode_stream(stream_df: DataFrame, out_dir: str, *,
               .option("checkpointLocation", checkpoint))
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
+    elif trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
 
 
 def encode_stream_partitioned(stream_df: DataFrame, out_dir: str, *,
                               checkpoint: str, ts_col: str = "warc_ts",
                               chunk_rows: int = 65536,
-                              trigger_available_now: bool = True):
+                              trigger_available_now: bool = True,
+                              trigger_seconds: int | None = None):
     """Stream → the reference's event-time tree, incrementally.
 
     This is the reference's ACTUAL job shape (Kafka → hourly dt=/hr=
@@ -83,6 +87,11 @@ def encode_stream_partitioned(stream_df: DataFrame, out_dir: str, *,
               .option("checkpointLocation", checkpoint))
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
+    elif trigger_seconds:
+        # the per-table cadence (jobs.yaml trigger_seconds — the
+        # reference's partitionForget tuning surface) must actually
+        # reach the writer; it was previously dropped on the floor
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
 
 

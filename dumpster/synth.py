@@ -17,6 +17,8 @@ with pt/en head.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import pyarrow as pa
 
@@ -50,6 +52,7 @@ def _u01(x: np.ndarray, salt: int) -> np.ndarray:
     return _mix(x, salt).astype(np.float64) / 2.0**64
 
 
+@functools.lru_cache(maxsize=4)
 def _host_table(n_rows: int, seed: int):
     n_hosts = max(16, n_rows // 64)
     ranks = np.arange(1, n_hosts + 1, dtype=np.float64)

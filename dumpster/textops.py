@@ -225,6 +225,22 @@ def simhash64(texts: pd.Series) -> pd.Series:
                            <= _TOKENS_PER_SLICE):
             end += 1
         lo, hi = int(tok_start[doc]), int(tok_start[end])
+        if end == doc + 1 and hi - lo > _TOKENS_PER_SLICE:
+            # the slice cap only bounds MULTI-doc batches (the first doc
+            # is always admitted): a single pathological crawl page with
+            # hundreds of millions of tokens would allocate an unbounded
+            # (n_tokens, 64) matrix — accumulate its bit votes in
+            # cap-sized sub-chunks instead
+            counts1 = np.zeros(64, dtype=np.int64)
+            for s0 in range(lo, hi, _TOKENS_PER_SLICE):
+                e0 = min(s0 + _TOKENS_PER_SLICE, hi)
+                counts1 += ((hs[s0:e0, None] >> shifts) & np.uint64(1)) \
+                    .astype(np.int64).sum(axis=0)
+            sig1 = (((counts1 * 2 - (hi - lo)) >= 0).astype(np.uint64)
+                    << shifts).sum(dtype=np.uint64)
+            out[doc] = np.uint64(sig1).astype(np.int64)
+            doc = end
+            continue
         if hi > lo:
             bits = ((hs[lo:hi, None] >> shifts) & np.uint64(1)).astype(np.int32)
             seg = (tok_start[doc:end] - lo).astype(np.int64)

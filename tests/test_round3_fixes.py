@@ -452,3 +452,93 @@ def test_mixed_struct_flat_dirs_rejected(spark, tmp_path):
         struct, bucket_expr=F.lit(0), n_buckets=1)
     with pytest.raises(ValueError, match="struct-typed and flat"):
         decode_tables(spark, [flat, struct]).count()
+
+
+# --- ops-family review fixes -------------------------------------------------
+
+def test_zero_vector_cosine_does_not_abort(spark):
+    """A zero embedding previously aborted the whole job under Spark 4's
+    default ANSI mode (DIVIDE_BY_ZERO); cosine is defined as 0 instead."""
+    from dumpster.simsearch import embedding_near_dups
+    emb = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 2.0]), (3, [1.0, 2.0])],
+        "vec_id long, embedding array<double>")
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             embedding_near_dups(emb, threshold=0.9).collect()}
+    assert pairs == {(2, 3)}       # zero vector similar to nothing
+
+
+def test_brute_topk_unknown_query_ids(spark):
+    """Typo'd/absent query ids must yield an empty typed result, not a
+    numpy AxisError."""
+    from dumpster.simsearch import brute_topk
+    emb = spark.createDataFrame([(1, [1.0, 0.0])],
+                                "vec_id long, embedding array<double>")
+    got = brute_topk(emb, query_ids=[999])
+    assert got.count() == 0
+    assert got.columns == ["query_id", "neighbor_id", "sim"]
+
+
+def test_lsh_and_buckets_skip_null_embeddings(spark):
+    """A NULL first row previously crashed the dim probe (int(None));
+    NULL embeddings carry no signature/bucket."""
+    from dumpster.simsearch import lsh_bucket_candidates, lsh_signatures
+    emb = spark.createDataFrame(
+        [(1, None), (2, [1.0, 2.0]), (3, [1.0, 2.0])],
+        "vec_id long, embedding array<double>")
+    sigs = lsh_signatures(emb)
+    assert sigs.count() == 2
+    assert lsh_bucket_candidates(emb).count() >= 1
+
+
+def test_ivf_custom_id_col(spark):
+    """ivf_cells hardcoded 'vec_id' in its output schema, crashing
+    ivf_topk with any non-default id_col."""
+    from dumpster.simsearch import ivf_topk
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(10)],
+        "id long, embedding array<double>")
+    got = ivf_topk(emb, [0, 5], k=2, n_cells=2, n_probe=2, id_col="id")
+    assert got.count() > 0
+    assert set(got.select("query_id").distinct().toPandas()["query_id"]) \
+        == {0, 5}
+
+
+def test_simhash_single_doc_over_cap(spark):
+    """One document larger than the vote-matrix cap must be processed in
+    sub-chunks (bounded memory) and produce the same signature as the
+    unchunked math."""
+    import numpy as np
+    import pandas as pd
+    from dumpster import textops
+    old = textops._TOKENS_PER_SLICE
+    textops._TOKENS_PER_SLICE = 64          # force the over-cap path
+    try:
+        doc = " ".join(f"w{i % 13}" for i in range(1000))
+        chunked = textops.simhash64.func(pd.Series([doc]))[0]
+    finally:
+        textops._TOKENS_PER_SLICE = old
+    unchunked = textops.simhash64.func(pd.Series([doc]))[0]
+    assert chunked == unchunked
+
+
+def test_jobs_trigger_seconds_requires_bound(spark, tmp_path):
+    """trigger_seconds previously never reached the stream writer AND the
+    unbounded query was awaited forever; a bounded runner now requires
+    run_for_seconds and honors the cadence."""
+    import pytest
+    import pyspark.sql.functions as F
+    from dumpster.jobs import JobConfig, TableJob, run_jobs
+    src = str(tmp_path / "jsrc")
+    (spark.range(0, 50).select(
+        F.col("id").alias("doc_id"),
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("warc_ts"))
+     .write.parquet(src))
+    cfg = JobConfig(out_path=str(tmp_path / "jout"), tables=[
+        TableJob(name="t", input=src, mode="stream_hourly",
+                 trigger_seconds=1)])
+    with pytest.raises(ValueError, match="run_for_seconds"):
+        run_jobs(spark, cfg)
+    cfg.tables[0].run_for_seconds = 15
+    res = run_jobs(spark, cfg)
+    assert res and res[0]["rows"] == 50
