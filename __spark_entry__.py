@@ -188,8 +188,12 @@ def q_near_dup_components(spark, sf):
     """Fuzzy-dedup clustering: connected components over MinHash-LSH pair
     edges (keep component == doc_id as the canonical survivor).  Oracle =
     a DuckDB recursive CTE over the SAME SQL-reproduced edge set."""
+    # max_bucket uncapped for ORACLE EQUIVALENCE, exactly like
+    # q_minhash_lsh_pairs: the recursive-CTE oracle has no bucket-size
+    # cap, so a fixture where one band bucket exceeded the production
+    # default (1000) would diverge the edge sets and fail the gate
     pairs = dedup.minhash_lsh_pairs(_augmented_docs(spark, sf), n_bands=8,
-                                    min_bands=2)
+                                    min_bands=2, max_bucket=10**9)
     return dedup.near_dup_components(pairs)
 
 
@@ -239,7 +243,7 @@ def q_ann_topk_cosine(spark, sf):
     return simsearch.brute_topk(emb, query_ids=list(range(10)), k=5)
 
 
-def q_ann_lsh_buckets(spark, sf):                     # rows-only (np planes)
+def q_ann_lsh_buckets(spark, sf):   # oracle-checked (planes as SQL literals)
     return simsearch.lsh_bucket_candidates(_t(spark, sf, "embeddings"),
                                            n_planes=12, seed=42)
 

@@ -147,7 +147,8 @@ def main():
         dec_stats = dec.agg(F.count("*"),
                             F.sum(F.octet_length("text"))).collect()[0]
         dec_trials.append(time.perf_counter() - t0)
-        assert dec_stats[0] == rows, f"decode rows {dec_stats[0]} != {rows}"
+        if dec_stats[0] != rows:   # not assert: must survive python -O
+            raise RuntimeError(f"decode rows {dec_stats[0]} != {rows}")
 
         if minimal:
             continue

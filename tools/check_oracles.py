@@ -28,7 +28,12 @@ def value_hash(rows, colnames):
         for i in order:
             v = row[i]
             if isinstance(v, float):
-                v = f"{v:.6f}"
+                v = f"{v + 0.0:.6f}"          # fold -0.0 → 0.0
+                if v == "-0.000000":
+                    v = "0.000000"
+            elif isinstance(v, bytearray):
+                v = bytes(v)                  # Spark collects bytearray,
+                                              # DuckDB returns bytes
             vals.append(repr(v))
         canon.append("\x1f".join(vals))
     canon.sort()
@@ -50,6 +55,13 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd name would otherwise check NOTHING and exit 0 with
+        # "0 failures" — a green gate that verified nothing
+        print(f"unknown query name(s): {sorted(unknown)}; "
+              f"known: {sorted(qs)}", file=sys.stderr)
+        sys.exit(2)
     failures = []
     for name, fn in qs.items():
         if only and name not in only:

@@ -171,8 +171,11 @@ def main():
     dd = e.queries()["exact_dup_groups"](spark, SF)
     p = plan_of(dd)
     ok &= section("exact dedup (hash-groupBy with map-side partial agg)", dd, {
+        # substring checks, not .index(): a missing node must print FAIL,
+        # not crash the audit mid-report with ValueError
         "partial HashAggregate before the exchange":
-            p.index("HashAggregate") < p.index("Exchange"),
+            "HashAggregate" in p and "Exchange" in p
+            and p.index("HashAggregate") < p.index("Exchange"),
     })
 
     # 6. repetition signals: n-gram legs stay in codegen, top-word leg
