@@ -104,8 +104,9 @@ def _manifest_files(stores: list[str]) -> list[str]:
     for store in stores:
         mdir = os.path.join(store, "manifest")
         if os.path.isdir(mdir):
+            from .engine import _is_manifest_name
             out += [os.path.join(mdir, f) for f in sorted(os.listdir(mdir))
-                    if f.startswith("b") and f.endswith(".parquet")]
+                    if _is_manifest_name(f)]
     return out
 
 

@@ -138,14 +138,25 @@ def _chunk_path(out_dir: str, bucket: int, seq: int,
     return os.path.join(out_dir, "chunks", name)
 
 
+
+def _is_manifest_name(f: str) -> bool:
+    """True for real per-bucket manifest files (b<digits>.parquet).
+    Foreign parquet files someone drops into manifest/ (a hand-made
+    backup.parquet) are ignored everywhere, never fatal and never read
+    as manifests (ADVICE r3)."""
+    return (f.startswith("b") and f.endswith(".parquet")
+            and f[1:-len(".parquet")].isdigit())
+
 def done_buckets(out_dir: str) -> set[int]:
     mdir = os.path.join(out_dir, "manifest")
     if not os.path.isdir(mdir):
         return set()
     # name = b{bucket}.parquet; bucket is zero-padded to ≥6 digits but may
-    # be wider (writer-sink append ranges), so parse to the suffix
+    # be wider (writer-sink append ranges).  Non-numeric stems (a
+    # hand-made backup.parquet, editor droppings) are foreign files, not
+    # corruption — ignore them rather than failing every resume
     return {int(f[1:-len(".parquet")]) for f in os.listdir(mdir)
-            if f.startswith("b") and f.endswith(".parquet")}
+            if _is_manifest_name(f)}
 
 
 def _make_encoder(out_dir: str, table_id: str, chunk_rows: int,
@@ -592,14 +603,18 @@ def encode_table_partitioned(df: DataFrame, out_dir: str, *,
 def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame:
     mdir = os.path.join(out_dir, "manifest")
     has_any = os.path.isdir(mdir) and any(
-        f.startswith("b") and f.endswith(".parquet") for f in os.listdir(mdir))
+        _is_manifest_name(f) for f in os.listdir(mdir))
     if not has_any:
         return spark.createDataFrame([], MANIFEST_DDL)
     # one directory listing, not N file paths: planning N separate relations
     # dominates decode setup once buckets number in the hundreds; the glob
     # filter keeps half-written *.tmp files (crash leftovers) out
-    return (spark.read.option("pathGlobFilter", "b*.parquet")
-            .schema(MANIFEST_DDL).parquet(mdir))
+    # the Hadoop glob can only require the FIRST char to be a digit;
+    # the rlike guard drops foreign names like b12x.parquet that the
+    # listing-side _is_manifest_name also rejects (they must agree)
+    return (spark.read.option("pathGlobFilter", "b[0-9]*.parquet")
+            .schema(MANIFEST_DDL).parquet(mdir)
+            .filter(F.input_file_name().rlike(r"/b[0-9]+\.parquet$")))
 
 
 def _publish_table_schema(out_dir: str, new: StructType) -> None:
@@ -1018,12 +1033,14 @@ def decode_tables(spark: SparkSession, dirs: list[str], *,
     # paths to the driver would be a GB-scale single-point bottleneck.)
     mdirs = [os.path.join(d, "manifest") for d in dirs]
     mdirs = [m for m in mdirs if os.path.isdir(m) and any(
-        f.startswith("b") and f.endswith(".parquet") for f in os.listdir(m))]
+        _is_manifest_name(f) for f in os.listdir(m))]
     if not mdirs:
         manifest = spark.createDataFrame([], MANIFEST_DDL)
     else:
-        manifest = (spark.read.option("pathGlobFilter", "b*.parquet")
-                    .schema(MANIFEST_DDL).parquet(*mdirs))
+        manifest = (spark.read.option("pathGlobFilter", "b[0-9]*.parquet")
+                    .schema(MANIFEST_DDL).parquet(*mdirs)
+                    .filter(F.input_file_name()
+                            .rlike(r"/b[0-9]+\.parquet$")))
     par = max(spark.sparkContext.defaultParallelism, 1)
     if zone_filter is not None or path_glob is not None:
         filters = ([zone_filter] if isinstance(zone_filter, tuple)

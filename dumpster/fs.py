@@ -85,24 +85,24 @@ class DirectPutFS:
     ``put`` stages the bytes as an in-flight upload (``.inflight-*`` next
     to the target — S3 would hold multipart parts server-side and an
     aborted upload leaves nothing at the key) and then commits: the
-    object appears at the key all-or-nothing.  Fault injection:
+    object appears at the key all-or-nothing.  Fault injection is BY
+    IDENTITY, not by count (the round-3 flake: a per-task publish
+    counter made "does any task reach n publishes" depend on bucket→task
+    scheduling; matching the target path makes the crash, the expected
+    exception and the resume state schedule-independent):
 
-    * ``fail_before_publish=n`` — the n-th put in this process raises
-      BEFORE the object becomes visible (upload aborted: key absent).
-    * ``fail_after_publish=n`` — the n-th put raises AFTER the object is
-      visible (task died between upload completion and task success).
-
-    Counters are PER TASK: the fs object is serialized into the task
-    closure and deserialized fresh for each task, so ``fail_*_publish=n``
-    fires in every task that reaches n publishes.  Size chunk_rows so the
-    targeted task makes enough publishes (tests use chunk_rows=64 →
-    ≥8 publishes per bucket task).
+    * ``fail_before_put_of=s`` — any put whose path contains ``s``
+      raises BEFORE the object becomes visible (upload aborted: key
+      absent).
+    * ``fail_after_put_of=s`` — any put whose path contains ``s``
+      raises AFTER the object is visible (task died between upload
+      completion and task success).
     """
 
-    def __init__(self, fail_before_publish: int | None = None,
-                 fail_after_publish: int | None = None):
-        self.fail_before_publish = fail_before_publish
-        self.fail_after_publish = fail_after_publish
+    def __init__(self, fail_before_put_of: str | None = None,
+                 fail_after_put_of: str | None = None):
+        self.fail_before_put_of = fail_before_put_of
+        self.fail_after_put_of = fail_after_put_of
         self._n = 0
 
     def put(self, path: str, data) -> None:
@@ -114,8 +114,8 @@ class DirectPutFS:
                 f.writelines(data)
             else:
                 f.write(data)
-        if self.fail_before_publish is not None \
-                and self._n >= self.fail_before_publish:
+        if self.fail_before_put_of is not None \
+                and self.fail_before_put_of in path:
             os.remove(stage)  # aborted multipart upload: nothing at the key
             raise PublishCrash(f"injected crash before publish of {path}")
         # commit: the object appears at the key all-or-nothing.  (On real
@@ -124,8 +124,8 @@ class DirectPutFS:
         # rename on this backend, and no engine code may rely on tmp
         # files being adjacent to the key.)
         os.replace(stage, path)
-        if self.fail_after_publish is not None \
-                and self._n >= self.fail_after_publish:
+        if self.fail_after_put_of is not None \
+                and self.fail_after_put_of in path:
             raise PublishCrash(f"injected crash after publish of {path}")
 
 
@@ -182,10 +182,30 @@ def file_lock(lock_path: str, timeout: float = 30.0, stale: float = 120.0):
     finally:
         # release only OUR lock: if this critical section outlived
         # `stale` and a waiter broke the lock, the file now belongs to a
-        # new holder — unconditional unlink would steal it
+        # new holder.  Read-then-unlink is a TOCTOU (ADVICE r3): between
+        # our token read and the unlink, a waiter could stale-break and a
+        # NEW holder create a fresh lock — the unconditional unlink would
+        # then steal it.  Release with the same atomic-rename trick as
+        # stale-break: claim whatever sits at lock_path by renaming it to
+        # a unique victim name (one process wins), verify the token in
+        # the claimed file, and only unlink if it is OURS — otherwise put
+        # the new holder's lock straight back.
         try:
             with open(lock_path) as f:
-                if f.read() == token:
-                    os.unlink(lock_path)
+                mine = f.read() == token
         except OSError:
-            pass
+            mine = False            # already broken + superseded — done
+        if mine:
+            victim = f"{lock_path}.rel.{os.urandom(6).hex()}"
+            try:
+                os.rename(lock_path, victim)
+                with open(victim) as f:
+                    still_mine = f.read() == token
+                if still_mine:
+                    os.unlink(victim)
+                else:
+                    # lost a stale-break race between the check and the
+                    # rename: restore the new holder's lock untouched
+                    os.rename(victim, lock_path)
+            except OSError:
+                pass

@@ -282,6 +282,38 @@ def stream_manifest(spark: SparkSession, out_dir: str) -> DataFrame:
     return out
 
 
+def _dedup_group(last: int, pdfs, partition_col: str, offset_col: str):
+    """One (partition, micro-batch) group of the stateful dedup: drop
+    every offset at or below the checkpointed ``last``, emit each
+    surviving offset exactly once, return (kept rows, new last).
+
+    applyInPandasWithState does NOT guarantee intra-group row order
+    after the groupBy shuffle (ADVICE r3): a genuinely first-seen lower
+    offset delivered after a higher one in the same micro-batch must not
+    be dropped.  Kafka offsets within a partition ARE the delivery
+    order, so sorting the micro-batch's rows by offset reconstructs it
+    exactly; the running max over the SORTED offsets then both drops
+    replays of prior batches and suppresses in-batch duplicates.
+    Memory note: this buffers one (partition, micro-batch) group — the
+    same unit applyInPandasWithState already shuffles whole.
+    """
+    import numpy as np
+    import pandas as pd
+
+    empty = pd.DataFrame({partition_col: pd.Series(dtype="int64"),
+                          offset_col: pd.Series(dtype="int64")})
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if not chunks:
+        return empty, last
+    pdf = pd.concat(chunks).sort_values(offset_col, kind="stable")
+    offs = pdf[offset_col].to_numpy()
+    prev_max = np.concatenate(([last], np.maximum.accumulate(offs)[:-1]))
+    keep = pdf[offs > prev_max]
+    if len(keep):
+        last = int(keep[offset_col].max())
+    return (keep[[partition_col, offset_col]] if len(keep) else empty), last
+
+
 def stateful_offset_dedup(stream_df: DataFrame,
                           partition_col: str = "part",
                           offset_col: str = "off"):
@@ -306,24 +338,9 @@ def stateful_offset_dedup(stream_df: DataFrame,
 
     def dedup(key, pdfs, state: GroupState):
         last = state.get[0] if state.exists else -1
-        outs = []
-        for pdf in pdfs:
-            offs = pdf[offset_col].to_numpy()
-            # first-seen WITHIN the chunk too: a replay landing in the
-            # same micro-batch (offsets e.g. [5, 3, 5]) must emit only
-            # the first 5 — comparing every row against the same stale
-            # `last` re-emitted in-batch duplicates and regressions
-            prev_max = np.concatenate(
-                ([last], np.maximum.accumulate(offs)[:-1])) \
-                if len(offs) else np.empty(0, dtype=np.int64)
-            keep = pdf[offs > prev_max]
-            if len(keep):
-                last = int(keep[offset_col].max())
-                outs.append(keep[[partition_col, offset_col]])
+        keep, last = _dedup_group(last, pdfs, partition_col, offset_col)
         state.update((last,))
-        yield (pd.concat(outs) if outs
-               else pd.DataFrame({partition_col: pd.Series(dtype="int64"),
-                                  offset_col: pd.Series(dtype="int64")}))
+        yield keep
 
     return (stream_df.groupBy(partition_col).applyInPandasWithState(
         dedup, outputStructType=out_schema, stateStructType="last long",
