@@ -27,10 +27,13 @@ table.  The fully-distributed alternative (manifest scan feeding
 mapInArrow) remains ``decode_table`` — the two paths share chunk readers.
 
 Column pruning: the Python DataSource API (4.1) has no
-SupportsPushDownRequiredColumns hook yet, so a plain ``SELECT lang`` still
-decodes all registered columns; register narrow views with
-``columns=[...]`` where that matters (ranged reads then skip other
-columns' bytes on disk entirely).
+SupportsPushDownRequiredColumns hook yet, so a plain ``SELECT lang``
+through ``spark.sql`` still decodes all registered columns.  Two ways to
+get projection anyway: register narrow views with ``columns=[...]``, or
+run the query through ``dumpster.sqlfront.sql(spark, query)`` — it
+derives each view's required columns from the analyzed plan and swaps in
+a narrow registration for the duration of the analysis (ranged reads
+then skip other columns' bytes on disk entirely).
 
 Spark 4.1 stale-scan-cache caveat (raw ``format("dumpster")`` use):
 ``PythonDataSourceV2.setReadInfo`` overwrites the per-relation planned
@@ -177,6 +180,19 @@ class DumpsterReader(DataSourceReader):
         except Exception:
             self.full_names = [f.name for f in schema.fields]
         self.on_error = options.get("on_error", "raise")
+        # never-null sentinel column pinned by register_decoded_view's
+        # stale-scan-cache workaround: its IS NOT NULL filter must be a
+        # semantic no-op FOREVER, so partitions() re-verifies the
+        # invariant against the manifest on every planning and raises
+        # loudly if a later append introduced NULLs (ADVICE r3: silent
+        # row loss until someone happened to re-register)
+        self.sentinel = options.get("sentinel_col")
+        # diagnostic: spool per-chunk "<bytes_read> <file_bytes>" lines
+        # into this directory (option wins over the DUMPSTER_IO_TRACE
+        # env var — options travel with the pickled reader into worker
+        # processes, env only works when set before the JVM starts)
+        self.io_trace = options.get("io_trace") \
+            or os.environ.get("DUMPSTER_IO_TRACE")
         self.target_bytes = int(options.get("target_bytes",
                                             _DEFAULT_TARGET_BYTES))
         self.schema = schema
@@ -274,12 +290,32 @@ class DumpsterReader(DataSourceReader):
         if mfiles:
             tbl = ds.dataset(mfiles).to_table(
                 columns=["file", "encoded_bytes", "col_stats", "n_rows"])
+            need_stats = bool(self.zones or self.null_preds
+                              or self.sentinel)
             for fp, nb, cs, nr in zip(tbl.column(0).to_pylist(),
                                       tbl.column(1).to_pylist(),
                                       tbl.column(2).to_pylist(),
                                       tbl.column(3).to_pylist()):
+                stats = ({s["column"]: s for s in json.loads(cs)}
+                         if need_stats else None)
+                if self.sentinel is not None and int(nr) > 0:
+                    s = (stats or {}).get(self.sentinel)
+                    nn = None if s is None else s.get("n_nulls")
+                    if nn is None or nn > 0:
+                        raise RuntimeError(
+                            f"pushdown view over {self.out_dir!r}: the "
+                            f"never-null sentinel column "
+                            f"{self.sentinel!r} now has NULLs (or is "
+                            f"missing) in chunk {fp!r} — a later append "
+                            f"broke the invariant the registration "
+                            f"verified.  The view's IS NOT NULL filter "
+                            f"would silently drop those rows; "
+                            f"re-register it with "
+                            f"register_decoded_view(..., pushdown=True) "
+                            f"to pick a valid sentinel or fall back to "
+                            f"the exact decode view.")
                 if (self.zones or self.null_preds) \
-                        and not self._survives(cs, int(nr)):
+                        and not self._survives(stats, int(nr)):
                     continue
                 files_sizes.append((fp, int(nb)))
         # deterministic order, then greedy bin-pack to target_bytes
@@ -295,8 +331,7 @@ class DumpsterReader(DataSourceReader):
             parts.append(ChunkFilesPartition(cur))
         return parts or [ChunkFilesPartition([])]
 
-    def _survives(self, col_stats_json: str, n_rows: int) -> bool:
-        stats = {s["column"]: s for s in json.loads(col_stats_json)}
+    def _survives(self, stats: dict, n_rows: int) -> bool:
         for col, want_null in self.null_preds:
             s = stats.get(col)
             nn = None if s is None else s.get("n_nulls")
@@ -338,11 +373,24 @@ class DumpsterReader(DataSourceReader):
         # per-column seeks when every byte is needed anyway)
         columns = self.names if set(self.names) < set(self.full_names) \
             else None
+        # diagnostic seam: one "<bytes_read> <file_bytes>" line per chunk
+        # read from each worker — how tests prove column-ranged reads
+        # engaged from plain SQL (workers are separate processes, so a
+        # shared spool directory is the only observable)
+        trace_dir = self.io_trace
         for fp in partition.files:
             try:
                 if self.eq_sets and self._bloom_rejects(fp):
                     continue  # value provably absent — exact skip
-                batch = decode_chunk_file(fp, columns=columns)
+                if trace_dir:
+                    br: list = []
+                    batch = decode_chunk_file(fp, columns=columns,
+                                              bytes_read=br)
+                    with open(os.path.join(
+                            trace_dir, f"io-{os.getpid()}.log"), "a") as tf:
+                        tf.write(f"{sum(br)} {os.path.getsize(fp)}\n")
+                else:
+                    batch = decode_chunk_file(fp, columns=columns)
             except Exception:
                 if self.on_error == "skip":
                     continue

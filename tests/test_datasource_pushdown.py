@@ -292,3 +292,34 @@ def test_sentinel_fallback_all_nullable(spark, tmp_path):
     spark.sql("SELECT count(*) c FROM allnull_v WHERE doc_id > 50").collect()
     assert spark.sql("SELECT count(*) c FROM allnull_v").collect()[0]["c"] \
         == 200
+
+
+def test_sentinel_reverified_per_planning_after_null_append(spark, tmp_path):
+    """ADVICE r3: an append that introduces NULLs into the sentinel
+    column must turn the view's queries into a LOUD error (re-register
+    instruction), never silent row loss from the IS NOT NULL no-op."""
+    from dumpster.datasource import register_dumpster_source
+
+    out = str(tmp_path / "sent")
+    df = (spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+          .limit(100))
+    encode_table(df, out, bucket_expr=(F.col("doc_id") % 2).cast("int"),
+                 n_buckets=2, table_id="sent_docs")
+    register_decoded_view(spark, out, "sent_push", pushdown=True)
+    n0 = spark.sql("SELECT count(*) AS n FROM sent_push").collect()[0]["n"]
+    assert n0 == 100
+    # append rows with NULL in every formerly-never-null column
+    register_dumpster_source(spark)
+    nulled = df.limit(5)
+    for c in nulled.columns:
+        if c != "doc_id":
+            nulled = nulled.withColumn(
+                c, F.lit(None).cast(dict(df.dtypes)[c]))
+    nulled = nulled.withColumn("doc_id", F.lit(None).cast("long"))
+    nulled.write.format("dumpster").mode("append").save(out)
+    with pytest.raises(Exception, match="sentinel|never-null"):
+        spark.sql("SELECT count(*) AS n FROM sent_push").collect()
+    # re-registration recovers (falls back to exact decode view)
+    register_decoded_view(spark, out, "sent_push", pushdown=True)
+    n1 = spark.sql("SELECT count(*) AS n FROM sent_push").collect()[0]["n"]
+    assert n1 == 105
