@@ -78,7 +78,8 @@ def main():
     trials: dict[str, list] = {k: [] for k in
                                ["scan_floor", "shuffle_floor", "ref_write",
                                 "salted_encode", "local_encode",
-                                "codec_cpu_sum"]}
+                                "sink_salted", "codec_cpu_sum"]}
+    sink_salted_bytes = None
     enc_bytes = ref_bytes = None
     # Host noise shifts within a single round (identical components vary
     # up to 2-7× minutes apart), so the floor→salted RATIO is only
@@ -134,6 +135,29 @@ def main():
                      chunk_rows=65536, table_id="anat_pages_l")
         trials["local_encode"].append(time.perf_counter() - t0)
         shutil.rmtree(out_l, ignore_errors=True)
+
+        # host-grouped layout via the native sink, zero shuffle (r3
+        # next-round #3): prep_for_encode_local host-sorts each split,
+        # the V2 writer takes __bucket — the ≤2×-bar candidate for the
+        # host-grouped write at sf1
+        from dumpster.pipeline import prep_for_encode_local
+        from dumpster.datasource import register_dumpster_source
+        from dumpster.engine import read_manifest
+        register_dumpster_source(spark)
+        out_s = tempfile.mkdtemp(prefix="anat_sink_")
+        tdir = os.path.join(out_s, "t")
+        t0 = time.perf_counter()
+        (prep_for_encode_local(pages, "url")
+         .write.format("dumpster").option("bucket_col", "__bucket")
+         .option("chunk_rows", "65536")
+         .option("table_id", "anat_sink_salted")
+         .mode("append").save(tdir))
+        trials["sink_salted"].append(time.perf_counter() - t0)
+        if sink_salted_bytes is None:
+            sink_salted_bytes = int(
+                read_manifest(spark, tdir)
+                .agg(F.sum("encoded_bytes")).collect()[0][0])
+        shutil.rmtree(out_s, ignore_errors=True)
         print(json.dumps({"round": rnd, "pair_ratio": round(pair_ratios[-1], 3),
                           **{k: round(v[-1], 2) for k, v in trials.items()}}),
               file=sys.stderr, flush=True)
@@ -158,6 +182,11 @@ def main():
         "encoded_bytes": enc_bytes,
         "reference_parquet_bytes": ref_bytes,
         "size_ratio_vs_reference": round(enc_bytes / ref_bytes, 4),
+        "encode_sink_salted_gb_per_sec": round(
+            logical_bytes / best["sink_salted"] / 1e9, 4),
+        "encoded_bytes_sink_salted": sink_salted_bytes,
+        "sink_salted_size_ratio_vs_reference": round(
+            sink_salted_bytes / ref_bytes, 4),
     }
     spark.stop()
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),

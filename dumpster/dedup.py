@@ -154,28 +154,47 @@ def minhash_lsh_pairs(df: DataFrame, n_bands: int = 8, min_bands: int = 2,
     """LSH candidate pairs: docs agreeing on ≥ min_bands band signatures.
 
     ``max_bucket`` drops degenerate buckets (boilerplate collisions) before
-    the pair join — the skew guard that matters at crawl scale.
+    any pairs are generated — the skew guard that matters at crawl scale.
 
-    The signature table is persisted (MEMORY_AND_DISK): it feeds three
-    consumers — the bucket-size aggregate and both sides of the self-join —
-    and recomputing the shingle pipeline per consumer tripled the wall
-    (measured 8.2 s → 1.8 s at sf0.1 with persist).  Size it mentally as
-    docs × n_bands × ~24 B (spills to executor disk at crawl scale, still
-    far cheaper than re-shingling the corpus twice).
+    Shape (round-4 rework, was persist + self-join): the signature rows
+    are exchanged ONCE on (band, sig) and that exchange is reused by
+    every consumer —
 
-    Cache contract: one live dedup intermediate at a time — see
-    ngram_jaccard_pairs docstring / release_dedup_cache.
+      sizes   = groupBy(band, sig).count, filtered to 2..max_bucket
+      capped  = sig ⋈ sizes                (ReusedExchange, same keys)
+      buckets = capped.groupBy(band, sig).sort_array(collect_list(doc_id))
+                                           (already partitioned: no new
+                                            exchange)
+      pairs   = per bucket, posexplode + slice → (id_a < id_b) streams
+                out of whole-stage codegen with no k² array ever
+                materialized per row (each of the k exploded rows carries
+                one O(k) slice, k ≤ max_bucket)
+      result  = pairs.groupBy(id_a, id_b).count ≥ min_bands
+
+    vs the old shape this removes the MEMORY_AND_DISK persist of the
+    signature table and the two extra signature-sized shuffles of the
+    self-join; the only data-sized exchanges left are the shingle
+    groupBy inside minhash_signatures and the single (band, sig)
+    exchange.  The size pre-filter runs BEFORE collect_list so a
+    degenerate boilerplate bucket never builds its array in an
+    aggregation buffer (collect of a 10^7-doc bucket would be an ~80 MB
+    single-key buffer; with the cap it is dropped at the count stage,
+    which is plain partial-aggregated counting).
     """
-    sig = _persist_tracked(minhash_signatures(df, n_bands, n))
-    bucket_sizes = sig.groupBy("band", "sig").agg(F.count("*").alias("bs"))
-    sig = (sig.join(bucket_sizes, ["band", "sig"])
-           .filter(F.col("bs") <= max_bucket).drop("bs"))
-    a, b = sig.alias("a"), sig.alias("b")
-    return (a.join(b, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.sig") == F.col("b.sig"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .groupBy(F.col("a.doc_id").alias("id_a"),
-                     F.col("b.doc_id").alias("id_b"))
+    sig = minhash_signatures(df, n_bands, n)
+    sizes = (sig.groupBy("band", "sig").agg(F.count("*").alias("bs"))
+             .filter((F.col("bs") >= 2) & (F.col("bs") <= max_bucket))
+             .drop("bs"))
+    capped = sig.join(sizes, ["band", "sig"])
+    buckets = (capped.groupBy("band", "sig")
+               .agg(F.sort_array(F.collect_list("doc_id")).alias("ids")))
+    lefts = buckets.select(
+        F.posexplode("ids").alias("i", "id_a"), "ids")
+    pairs = lefts.select(
+        "id_a",
+        F.explode(F.expr("slice(ids, i + 2, size(ids) - i - 1)"))
+        .alias("id_b"))
+    return (pairs.groupBy("id_a", "id_b")
             .agg(F.count("*").alias("bands"))
             .filter(F.col("bands") >= min_bands))
 

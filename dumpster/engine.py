@@ -98,6 +98,11 @@ from .chunk import decode_chunk_file, encode_chunk_pieces
 from .pipeline import prep_for_encode, prep_for_encode_local
 
 DEFAULT_CHUNK_ROWS = 65536
+
+# decode_tables: manifests totalling less than this take the driver-side
+# listing fast path (no manifest-scan job, no exchange); bigger manifests
+# stay fully distributed.  Module-level so benchmarks can A/B both paths.
+_SMALL_MANIFEST_BYTES = 32 * 1024 * 1024
 DEFAULT_CHUNK_BYTES = 32 * 1024 * 1024
 
 MANIFEST_DDL = ("bucket int, chunk_seq int, file string, n_rows long, "
@@ -1042,53 +1047,87 @@ def decode_tables(spark: SparkSession, dirs: list[str], *,
                     .filter(F.input_file_name()
                             .rlike(r"/b[0-9]+\.parquet$")))
     par = max(spark.sparkContext.defaultParallelism, 1)
+    filters = None
     if zone_filter is not None or path_glob is not None:
         filters = ([zone_filter] if isinstance(zone_filter, tuple)
                    else list(zone_filter or []))
         filters = [(c, _stat_value(lo), _stat_value(hi))
                    for c, lo, hi in filters]
 
-        def prune(batches):
-            import fnmatch
-            for b in batches:
-                keep = []
-                for fp, cs in zip(b.column(0).to_pylist(),
-                                  b.column(1).to_pylist()):
-                    if path_glob is not None \
-                            and not fnmatch.fnmatch(fp, path_glob):
-                        continue
-                    stats = {s["column"]: s for s in json.loads(cs)}
-                    ok = True
-                    for col, lo, hi in filters:
-                        s = stats.get(col)
-                        if s is None:
-                            continue
-                        if isinstance(lo, (str, bytes)) \
-                                or isinstance(hi, (str, bytes)):
-                            if not _str_zone_overlaps(s, lo, hi):
-                                ok = False
-                                break
-                            continue
-                        if s.get("vmin") is None:
-                            continue  # no stats → cannot prune
-                        # None = open bound (prune_manifest_files parity)
-                        if (lo is not None and s["vmax"] < lo) \
-                                or (hi is not None and s["vmin"] > hi):
-                            ok = False
-                            break
-                    if ok:
-                        keep.append(fp)
-                yield pa.RecordBatch.from_arrays(
-                    [pa.array(keep, type=pa.string())], names=["file"])
+    def _keep_file(fp: str, cs) -> bool:
+        import fnmatch
+        if path_glob is not None and not fnmatch.fnmatch(fp, path_glob):
+            return False
+        if filters:
+            stats = {s["column"]: s for s in json.loads(cs)}
+            for col, lo, hi in filters:
+                s = stats.get(col)
+                if s is None:
+                    continue
+                if isinstance(lo, (str, bytes)) \
+                        or isinstance(hi, (str, bytes)):
+                    if not _str_zone_overlaps(s, lo, hi):
+                        return False
+                    continue
+                if s.get("vmin") is None:
+                    continue  # no stats → cannot prune
+                # None = open bound (prune_manifest_files parity)
+                if (lo is not None and s["vmax"] < lo) \
+                        or (hi is not None and s["vmin"] > hi):
+                    return False
+        return True
 
-        fdf = manifest.select("file", "col_stats") \
-            .mapInArrow(prune, schema="file string")
+    # SMALL manifests (≲10^5 chunks) take a driver-side listing — one
+    # pyarrow columnar read of the file/col_stats columns, pruned and
+    # parallelized with no manifest-scan job and no exchange.  This is
+    # exactly where Spark's own FileSourceScan does its file listing,
+    # and it removes the decode job's two fixed-cost stages (measured
+    # ~0.45 s at every core count — the N→4N decode-scaling cap,
+    # bench/decode_anatomy.py).  BIG manifests (10^12-doc tables hold
+    # ~10^7 chunk rows) keep the fully distributed shape: the manifest
+    # scan feeds the decode job directly and pruning runs in tasks —
+    # collecting those paths to the driver would be a GB-scale
+    # single-point bottleneck.
+    msize = sum(e.stat().st_size for m in mdirs
+                for e in os.scandir(m)
+                if e.is_file() and _is_manifest_name(e.name))
+    if mdirs and msize < _SMALL_MANIFEST_BYTES:
+        import pyarrow.dataset as _ds
+        mfiles = [os.path.join(m, f) for m in mdirs
+                  for f in sorted(os.listdir(m)) if _is_manifest_name(f)]
+        want_cols = ["file"] + (["col_stats"] if filters or path_glob
+                                else [])
+        tbl = _ds.dataset(mfiles).to_table(columns=want_cols)
+        fps = tbl.column(0).to_pylist()
+        css = (tbl.column(1).to_pylist() if len(want_cols) > 1
+               else [None] * len(fps))
+        kept = sorted({fp for fp, cs in zip(fps, css)
+                       if _keep_file(fp, cs)})
+        # LocalRelation (driver-embedded, no Python RDD hop — a
+        # parallelize()d list costs a SECOND Python eval stage chained
+        # before mapInArrow, measured slower than what it saves) + one
+        # round-robin exchange to spread files across tasks
+        fdf = spark.createDataFrame([(f,) for f in kept], "file string") \
+            .repartition(max(1, min(par * 2, max(len(kept), 1))))
     else:
-        fdf = manifest.select("file")
-    # ONE exchange, carrying only file-name strings: hash-repartition on
-    # the dedup key and let dropDuplicates reuse that distribution
-    # (distinct().repartition(n) was two back-to-back shuffles)
-    fdf = fdf.repartition(par * 2, F.col("file")).dropDuplicates(["file"])
+        if filters or path_glob:
+            def prune(batches):
+                for b in batches:
+                    keep = [fp for fp, cs in zip(b.column(0).to_pylist(),
+                                                 b.column(1).to_pylist())
+                            if _keep_file(fp, cs)]
+                    yield pa.RecordBatch.from_arrays(
+                        [pa.array(keep, type=pa.string())], names=["file"])
+
+            fdf = manifest.select("file", "col_stats") \
+                .mapInArrow(prune, schema="file string")
+        else:
+            fdf = manifest.select("file")
+        # ONE exchange, carrying only file-name strings: hash-repartition
+        # on the dedup key and let dropDuplicates reuse that distribution
+        # (distinct().repartition(n) was two back-to-back shuffles)
+        fdf = fdf.repartition(par * 2, F.col("file")) \
+            .dropDuplicates(["file"])
 
     # pruned scans do ranged reads via the chunk footer index (I/O pruning,
     # not just decode pruning); full scans read each file once, sequentially

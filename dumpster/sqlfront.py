@@ -104,8 +104,11 @@ def required_view_columns(spark: SparkSession, query: str,
     columns the analyzed plan actually references (by exprId, unioned
     across occurrences).  Views not found in the plan are absent from
     the result (treated as full-width by the caller)."""
-    plan = spark.sql(query)._jdf.queryExecution().analyzed()
+    return _required_from_plan(
+        spark.sql(query)._jdf.queryExecution().analyzed(), view_names)
 
+
+def _required_from_plan(plan, view_names: set[str]) -> dict[str, set[str]]:
     refs: set[int] = set()
     alias_outputs: list[tuple[str, list[tuple[str, int]]]] = []
 
@@ -179,13 +182,21 @@ def sql(spark: SparkSession, query: str) -> DataFrame:
     views the plan references are scanned through narrow relations so
     only the referenced columns' bytes are read and decoded.
     """
+    df0 = spark.sql(query)
     views = _registered_views(spark)
     if not views:
-        return spark.sql(query)
+        return df0
     try:
-        needed = required_view_columns(spark, query, set(views))
+        plan = df0._jdf.queryExecution().analyzed()
+        # classic-mode spark.sql EXECUTES commands (DDL/DML) eagerly at
+        # creation — df0 already ran them.  Re-running the query against
+        # narrow views would execute the command TWICE; return the
+        # finished result instead (there is nothing to narrow anyway).
+        if "Command" in plan.getClass().getSimpleName():
+            return df0
+        needed = _required_from_plan(plan, set(views))
     except Exception:
-        return spark.sql(query)   # plan walk failed — full width, exact
+        return df0                # plan walk failed — full width, exact
 
     swapped: list[dict] = []
     for alias, cols in needed.items():
@@ -203,18 +214,19 @@ def sql(spark: SparkSession, query: str) -> DataFrame:
                             sorted(cols, key=meta["all_columns"].index))
         swapped.append(meta)
     if not swapped:
-        return spark.sql(query)
+        return df0
     try:
         df = spark.sql(query)
         df.schema                 # force analysis while views are narrow
         return df
     except Exception:
         # undercounted columns (plan region invisible to the walk) make
-        # the narrow analysis fail loudly — rerun full-width, exact
+        # the narrow analysis fail loudly — fall back to the already
+        # analyzed full-width plan, exact
         for meta in swapped:
             _register_from_meta(spark, meta, None)
         swapped = []
-        return spark.sql(query)
+        return df0
     finally:
         for meta in swapped:
             _register_from_meta(spark, meta, None)

@@ -390,7 +390,15 @@ def test_decode_schema_nullable_after_evolution(spark, tmp_path):
 
 def test_stateful_dedup_within_batch(spark, tmp_path):
     """A replayed offset arriving in the SAME micro-batch must be emitted
-    once (first-seen), not once per copy."""
+    once (first-seen), not once per copy.
+
+    Semantics per ADVICE r3: the groupBy shuffle does not preserve
+    intra-batch arrival order, so the operator sorts the group by offset
+    (Kafka's consumption order within a partition) before the running
+    max.  With empty state every DISTINCT offset here is genuinely
+    first-seen → 3 is emitted (the old arrival-order reading that
+    dropped it depended on nondeterministic row order); the duplicate 5
+    is still suppressed."""
     from dumpster.streaming import stateful_offset_dedup
     src = str(tmp_path / "dsrc")
     (spark.createDataFrame([(0, 5), (0, 3), (0, 5), (0, 6)],
@@ -404,7 +412,7 @@ def test_stateful_dedup_within_batch(spark, tmp_path):
          .trigger(availableNow=True).start())
     q.awaitTermination(120)
     got = sorted(r["off"] for r in spark.read.parquet(sink).collect())
-    assert got == [5, 6]          # 3 regressed, duplicate 5 dropped
+    assert got == [3, 5, 6]       # duplicate 5 dropped, 3 kept
 
 
 def test_salt_k_capped_to_n_buckets(spark):

@@ -282,3 +282,25 @@ def test_concurrent_bucket_col_writers_serialize(spark, tmp_path):
     got = spark.read.format("dumpster").option("path", out).load()
     assert got.count() == 200          # winner's rows, exact — no mixing
     assert got.exceptAll(pages).count() == 0
+
+
+def test_bucket_col_prep_local_hostsorted_roundtrip(spark, tmp_path):
+    """The zero-shuffle host-grouped sink path benched as
+    encode_pages_sink_salted (r3 next-round #3): prep_for_encode_local
+    host-sorts each split, the writer takes __bucket = partition id.
+    Round-trip must be exact and the routing column must not be stored."""
+    from dumpster.synth import synth_pages
+
+    out = str(tmp_path / "whs")
+    pages = synth_pages(spark, 2500, seed=21)
+    (pipeline.prep_for_encode_local(pages, "url")
+     .write.format("dumpster").option("bucket_col", "__bucket")
+     .option("chunk_rows", "256").option("table_id", "whs")
+     .mode("append").save(out))
+    got = spark.read.format("dumpster").option("path", out).load()
+    assert set(got.columns) == set(pages.columns)
+    assert got.exceptAll(pages).count() == 0
+    assert pages.exceptAll(got).count() == 0
+    # the engine front door reads the same store
+    from dumpster.engine import decode_table
+    assert decode_table(spark, out).count() == 2500
