@@ -781,6 +781,60 @@ def q_canonical_urls(spark, sf):
                     textops.canonical_url(url).alias("canonical")))
 
 
+def q_contamination_overlap(spark, sf):
+    """Benchmark decontamination (dedup.contamination_overlap): per-doc
+    fraction of distinct word 8-grams shared with a benchmark corpus —
+    here every 17th doc plays the eval set, so those docs score 1.0 and
+    the rest measure the synthetic vocabulary's collision floor.  One
+    shuffle; the benchmark side is broadcast."""
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 17 == 0)
+    return dedup.contamination_overlap(d, bench, n=8)
+
+
+def q_dedup_keep_canonical(spark, sf):
+    """Fuzzy dedup END TO END (dedup.dedup_keep_canonical): MinHash-LSH
+    pairs → connected components → keep min-id doc per cluster, all
+    singletons survive.  The oracle recomputes the clusters with a
+    recursive CTE and anti-selects the non-canonical ids."""
+    docs = _augmented_docs(spark, sf)
+    pairs = dedup.minhash_lsh_pairs(docs, n_bands=8, min_bands=2,
+                                    max_bucket=10**9)
+    kept = dedup.dedup_keep_canonical(docs, pairs)
+    return kept.select("doc_id", F.md5("text").alias("text_md5"))
+
+
+_BLOCKLIST_RULES = ("example0.com", "example3.com", "a.example5.com")
+
+
+def _synth_block_url(doc_id_col):
+    """Deterministic URL fixture for the blocklist ops: four host shapes
+    per doc — bare domain, www, deep subdomain, and a 'notexampleK.com'
+    look-alike that must NOT match (label-boundary semantics)."""
+    m4 = doc_id_col % 4
+    k = (doc_id_col % 7).cast("string")
+    host = (F.when(m4 == 0, F.concat(F.lit("example"), k, F.lit(".com")))
+            .when(m4 == 1, F.concat(F.lit("WWW.Example"), k, F.lit(".COM")))
+            .when(m4 == 2, F.concat(F.lit("cdn.a.example"), k,
+                                    F.lit(".com")))
+            .otherwise(F.concat(F.lit("notexample"), k, F.lit(".com"))))
+    return F.concat(F.lit("http://user@"), host, F.lit(":8080/p/"),
+                    doc_id_col.cast("string"))
+
+
+def q_host_blocklist_matches(spark, sf):
+    """URL domain-blocklist matching (textops.host_suffix_matches):
+    suffix-explode equijoin against a broadcast blocklist — equality OR
+    subdomain match on label boundaries, most-specific rule wins.
+    tests/test_training_ops.py covers the complementary
+    host_blocklist_filter anti-join."""
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", _synth_block_url(F.col("doc_id")).alias("url"))
+    bl = spark.createDataFrame([(r,) for r in _BLOCKLIST_RULES],
+                               "domain string")
+    return textops.host_suffix_matches(docs, bl)
+
+
 def q_writer_sink_roundtrip(spark, sf):
     """The df.write front door: two appends through Spark's V2 commit
     protocol (chunks task-side, manifests published by the driver
@@ -852,6 +906,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": q_repetition_signals,
         "redact_pii": q_redact_pii,
         "canonical_urls": q_canonical_urls,
+        "contamination_overlap": q_contamination_overlap,
+        "dedup_keep_canonical": q_dedup_keep_canonical,
+        "host_blocklist_matches": q_host_blocklist_matches,
         "catalog_restore": q_catalog_restore,
         "schema_evolution_store": q_schema_evolution_store,
         "multischema_routing": q_multischema_routing,
@@ -873,6 +930,20 @@ aug AS (SELECT doc_id, text FROM documents
         UNION ALL
         SELECT doc_id + 1000000 AS doc_id, text FROM documents
         WHERE doc_id % 20 = 0)
+"""
+
+
+def _shingle_cte_n(src: str, n: int) -> str:
+    """_SHINGLE_CTE generalized to word n-grams of any n (DuckDB list
+    lambdas, 1-based indexing — x is t[i])."""
+    concat = " || ' ' || ".join(["x"] + [f"t[i+{j}]" for j in range(1, n)])
+    return f"""
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM {src}),
+sh AS (SELECT doc_id, unnest(list_distinct(list_filter(
+         list_transform(t, (x,i) -> CASE WHEN i <= len(t)-{n - 1}
+              THEN {concat} END),
+         s -> s IS NOT NULL))) AS shingle
+       FROM toks)
 """
 
 
@@ -1033,6 +1104,80 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, url AS raw_url,
                    {textops.canonical_url_sql('url')} AS canonical
             FROM u
+        """,
+        "contamination_overlap": f"""
+            WITH {_shingle_cte_n('documents', 8)},
+            bench AS (SELECT DISTINCT shingle FROM sh
+                      WHERE doc_id % 17 = 0),
+            per AS (SELECT s.doc_id, count(*) AS n_grams,
+                           sum(CASE WHEN b.shingle IS NOT NULL
+                                    THEN 1 ELSE 0 END) AS hits
+                    FROM sh s LEFT JOIN bench b USING (shingle)
+                    GROUP BY s.doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(per.n_grams, 0) AS BIGINT) AS n_grams,
+                   CAST(coalesce(per.hits, 0) AS BIGINT) AS hits,
+                   round(CASE WHEN coalesce(per.n_grams, 0) > 0
+                              THEN CAST(per.hits AS DOUBLE) / per.n_grams
+                              ELSE 0.0 END, 6) AS overlap_frac
+            FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+        """,
+        "dedup_keep_canonical": f"""
+            WITH RECURSIVE {_AUG_CTE}, {_SHINGLE_CTE.format(src='aug')},
+            hs AS (SELECT doc_id,
+                          CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT)
+                              % 1073741789 AS h
+                   FROM sh),
+            bands(band) AS (VALUES (0),(1),(2),(3),(4),(5),(6),(7)),
+            sig AS (SELECT doc_id, band,
+                           min(((band * 2 + 1) * h + band) % 1073741789) AS sig
+                    FROM hs CROSS JOIN bands GROUP BY doc_id, band),
+            edges AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                      FROM sig a JOIN sig b
+                        ON a.band = b.band AND a.sig = b.sig
+                       AND a.doc_id < b.doc_id
+                      GROUP BY a.doc_id, b.doc_id
+                      HAVING count(*) >= 2),
+            sym AS (SELECT id_a AS src, id_b AS dst FROM edges
+                    UNION ALL
+                    SELECT id_b, id_a FROM edges),
+            reach(id, r) AS (
+                SELECT DISTINCT src, src FROM sym
+                UNION
+                SELECT s.src, reach.r FROM sym s JOIN reach ON reach.id = s.dst),
+            comps AS (SELECT id, min(r) AS component
+                      FROM reach GROUP BY id)
+            SELECT a.doc_id, md5(a.text) AS text_md5
+            FROM aug a
+            WHERE a.doc_id NOT IN
+                  (SELECT id FROM comps WHERE id <> component)
+        """,
+        "host_blocklist_matches": f"""
+            WITH u AS (SELECT doc_id,
+                'http://user@'
+                || (CASE doc_id % 4
+                    WHEN 0 THEN 'example' || CAST(doc_id % 7 AS VARCHAR)
+                                || '.com'
+                    WHEN 1 THEN 'WWW.Example' || CAST(doc_id % 7 AS VARCHAR)
+                                || '.COM'
+                    WHEN 2 THEN 'cdn.a.example' || CAST(doc_id % 7 AS VARCHAR)
+                                || '.com'
+                    ELSE 'notexample' || CAST(doc_id % 7 AS VARCHAR)
+                         || '.com' END)
+                || ':8080/p/' || CAST(doc_id AS VARCHAR) AS url
+                FROM documents),
+            h AS (SELECT doc_id,
+                         lower(regexp_extract(url,
+                '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)', 1))
+                             AS host
+                  FROM u),
+            b(rule) AS (VALUES ('example0.com'), ('example3.com'),
+                               ('a.example5.com')),
+            m AS (SELECT doc_id, host, rule
+                  FROM h JOIN b ON h.host = b.rule
+                                OR h.host LIKE '%.' || b.rule)
+            SELECT doc_id, host, max_by(rule, length(rule)) AS rule
+            FROM m GROUP BY doc_id, host
         """,
         "redact_pii": textops.redact_pii_sql(
             src="(SELECT doc_id, text || ' contact u' "

@@ -218,6 +218,72 @@ def dedup_keep_first(df: DataFrame, text_col: str = "text",
             .filter(F.col("__rn") == 1).drop("__rn"))
 
 
+def contamination_overlap(df: DataFrame, benchmark: DataFrame,
+                          n: int = 13, id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Benchmark decontamination signal: per-document fraction of distinct
+    word n-grams that also appear in a benchmark/eval corpus (the
+    Gopher/GPT-3 style 13-gram overlap check a training pipeline runs
+    before any eval set is trusted).
+
+    Returns (doc_id, n_grams, hits, overlap_frac); filter on
+    ``overlap_frac`` to drop contaminated docs.  Docs too short to have a
+    single n-gram are kept with n_grams = 0 and overlap_frac = 0.0 (they
+    cannot be contaminated at this n).
+
+    Spark shape: the corpus shingle explode is a straight flatMap (no
+    shuffle); the benchmark side is collapsed to DISTINCT n-grams and
+    broadcast (eval suites are tiny next to a crawl), so the probe join
+    is map-side; ONE groupBy(doc_id) with map-side partial aggregation
+    produces both the size and the hit count in a single pass — one
+    data-sized shuffle total, no persist.  At 10^12 docs this is the
+    same shape as lang_id + one aggregate.
+    """
+    doc_sh = shingles(df, id_col=id_col, text_col=text_col, n=n)
+    bench_sh = (shingles(benchmark, id_col=id_col, text_col=text_col, n=n)
+                .select("shingle").distinct()
+                .withColumn("__hit", F.lit(1)))
+    marked = doc_sh.join(F.broadcast(bench_sh), "shingle", "left")
+    per_doc = (marked.groupBy("doc_id")
+               .agg(F.count("*").alias("n_grams"),
+                    F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+                    .alias("hits")))
+    base = df.select(F.col(id_col).alias("doc_id"))
+    return (base.join(per_doc, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+                    F.coalesce("hits", F.lit(0)).alias("hits"))
+            .withColumn("overlap_frac", F.round(
+                F.when(F.col("n_grams") > 0,
+                       F.col("hits") / F.col("n_grams"))
+                .otherwise(F.lit(0.0)), 6)))
+
+
+def dedup_keep_canonical(df: DataFrame, pairs: DataFrame,
+                         id_col: str = "doc_id",
+                         max_iter: int = 25) -> DataFrame:
+    """The KEEP side of fuzzy dedup, end to end: given near-dup pair
+    edges (minhash_lsh_pairs / embedding_near_dups_lsh output), cluster
+    them into connected components and keep exactly one document per
+    component — the minimum id (every singleton, i.e. any doc in no
+    pair, survives untouched).
+
+    This is the step that turns a pair list into a training corpus:
+    RefinedWeb/SlimPajama-style "drop all but one per duplicate
+    cluster".
+
+    Spark shape: components via pointer-jumping (O(log diameter) rounds,
+    see near_dup_components), then the non-canonical ids — a table no
+    bigger than the pair list — anti-join the corpus.  With AQE on, a
+    small drop-set broadcasts; at crawl scale it hash-joins on the id.
+    Rows and columns of ``df`` pass through unchanged.
+    """
+    comp = near_dup_components(pairs, max_iter=max_iter)
+    losers = (comp.filter(F.col("id") != F.col("component"))
+              .select(F.col("id").alias(id_col)))
+    return df.join(losers, id_col, "left_anti")
+
+
 def near_dup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     """Connected components over near-dup pair edges — the clustering step
     of a fuzzy-dedup pipeline (pairs from minhash_lsh_pairs /

@@ -362,6 +362,64 @@ def canonical_url_sql(url_expr: str) -> str:
             f"ELSE {low} || {rest2} END")
 
 
+_URL_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)"
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased registrable host of a URL (userinfo/port stripped);
+    empty string for scheme-less input.  Pure Column expression."""
+    return F.lower(F.regexp_extract(url, _URL_HOST_RE, 1))
+
+
+def host_suffix_matches(df: DataFrame, blocklist: DataFrame,
+                        url_col: str = "url",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Docs whose URL host equals a blocked domain or is a subdomain of
+    one — the UT1/domain-blocklist filtering step every crawl pipeline
+    runs before content-level quality gates (the reference has no URL
+    semantics at all).
+
+    ``blocklist``'s first column holds domains ("example.com" blocks
+    "example.com" AND "a.b.example.com"; matching is on label
+    boundaries, so "notexample.com" is NOT blocked).
+
+    Spark shape: each host explodes into its ≤~10 label suffixes
+    (flatMap, no shuffle) which equijoin the broadcast blocklist —
+    a 3M-domain UT1-scale list is tens of MB, map-side; one
+    groupBy(doc) keeps the most specific matched rule.  No LIKE-join
+    (a LIKE '%.'||rule join would be a cartesian filter at crawl
+    scale); the suffix explode turns subdomain matching into a pure
+    equijoin.
+
+    Returns (doc_id, host, rule) — one row per blocked doc, rule =
+    longest (most specific) matching blocklist entry.
+    """
+    base = df.select(F.col(id_col).alias("doc_id"),
+                     url_host(F.col(url_col)).alias("host"))
+    sfx = F.expr("transform(split(host, '\\\\.'), (x, i) -> "
+                 "array_join(slice(split(host, '\\\\.'), i + 1, "
+                 "size(split(host, '\\\\.')) - i), '.'))")
+    exploded = (base.filter(F.col("host") != "")
+                .select("doc_id", "host", F.explode(sfx).alias("rule")))
+    rules = (blocklist.select(F.lower(F.col(blocklist.columns[0]))
+                              .alias("rule")).distinct())
+    return (exploded.join(F.broadcast(rules), "rule")
+            .groupBy("doc_id", "host")
+            .agg(F.max_by("rule", F.length("rule")).alias("rule")))
+
+
+def host_blocklist_filter(df: DataFrame, blocklist: DataFrame,
+                          url_col: str = "url",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Drop every row whose URL host is on (or under) a blocked domain.
+    Rows and columns pass through otherwise unchanged.  The blocked-id
+    set is no bigger than the blocked rows, so with AQE it broadcasts;
+    at worst it hash-joins on the id."""
+    blocked = (host_suffix_matches(df, blocklist, url_col, id_col)
+               .select(F.col("doc_id").alias(id_col)).distinct())
+    return df.join(blocked, id_col, "left_anti")
+
+
 # PII patterns shared verbatim by the Spark (Java regex) and DuckDB (RE2)
 # sides: no top-level alternation, no backrefs, ASCII classes only — the
 # constructs where the two engines' leftmost-match semantics agree.

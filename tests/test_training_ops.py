@@ -129,3 +129,57 @@ def test_near_dup_components_chain_and_isolates(spark):
     out = {r["id"]: r["component"]
            for r in dedup.near_dup_components(edges).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_dedup_keep_canonical_min_id_survives(spark, docs):
+    """Per near-dup component the min id survives; docs in no pair pass
+    through untouched, with all their columns."""
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    kept = dedup.dedup_keep_canonical(docs, pairs)
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 4, 5]
+    assert kept.columns == docs.columns
+
+
+def test_contamination_overlap_fracs(spark):
+    """Benchmark doc scores 1.0; disjoint doc 0.0; partial overlap in
+    between; a doc too short for a single n-gram is kept at 0/0.0."""
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e"),            # == benchmark text → 1.0
+         (2, "z y x w v u"),          # disjoint → 0.0
+         (3, "a b c q r s"),          # shares exactly 'a b c' (1 of 4)
+         (4, "a b")],                 # too short for a 3-gram
+        "doc_id long, text string")
+    bench = spark.createDataFrame([(100, "a b c d e")],
+                                  "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           dedup.contamination_overlap(corpus, bench, n=3).collect()}
+    assert out[1].overlap_frac == 1.0 and out[1].hits == out[1].n_grams == 3
+    assert out[2].overlap_frac == 0.0 and out[2].n_grams == 4
+    assert out[3].hits == 1 and out[3].n_grams == 4
+    assert out[3].overlap_frac == 0.25
+    assert out[4].n_grams == 0 and out[4].overlap_frac == 0.0
+
+
+def test_host_blocklist_suffix_semantics(spark):
+    """Equality and subdomain matches block; label-boundary look-alikes
+    don't; the most specific rule wins; userinfo/port/case stripped."""
+    docs_url = spark.createDataFrame(
+        [(1, "http://example.com/a"),             # exact
+         (2, "https://deep.sub.example.com/b"),   # subdomain
+         (3, "http://notexample.com/c"),          # look-alike → kept
+         (4, "HTTP://User@WWW.Example.COM:8080"), # case/userinfo/port
+         (5, "http://a.example5.com/x"),          # specific rule
+         (6, "http://other.org/")],
+        "doc_id long, url string")
+    bl = spark.createDataFrame(
+        [("Example.com",), ("example5.com",), ("a.example5.com",)],
+        "domain string")
+    m = {r.doc_id: r for r in
+         textops.host_suffix_matches(docs_url, bl).collect()}
+    assert sorted(m) == [1, 2, 4, 5]
+    assert m[2].host == "deep.sub.example.com"
+    assert m[4].host == "www.example.com"
+    assert m[5].rule == "a.example5.com"     # longest match wins
+    kept = textops.host_blocklist_filter(docs_url, bl)
+    assert sorted(r.doc_id for r in kept.collect()) == [3, 6]
+    assert kept.columns == docs_url.columns
