@@ -835,6 +835,53 @@ def q_host_blocklist_matches(spark, sf):
     return textops.host_suffix_matches(docs, bl)
 
 
+def q_repeated_passage_removal(spark, sf):
+    """CCNet-style boilerplate removal (dedup.remove_repeated_passages):
+    passages occurring ≥2 times across the corpus are deleted from every
+    doc, survivors reassembled in order.  Fixture: a shared footer (hot
+    everywhere), a mod-keyed passage (hot only when the mod collides), a
+    unique passage (never hot), an empty passage (preserved verbatim),
+    and all-boilerplate docs (dropped)."""
+    did = F.col("doc_id")
+    p1 = F.concat(F.lit("alpha beta gamma "), (did % 400).cast("string"))
+    p2 = F.lit("shared footer boilerplate")
+    p3 = F.concat(F.lit("unique content "), did.cast("string"))
+    nl = F.lit("\n")
+    text = (F.when(did % 10 == 0, p2)
+            .when(did % 10 == 1, F.concat(p1, nl, nl, p3))
+            .otherwise(F.concat(p1, nl, p2, nl, p3)))
+    docs = _t(spark, sf, "documents").select("doc_id", text.alias("text"))
+    return dedup.remove_repeated_passages(docs, min_count=2)
+
+
+def q_url_keep_latest(spark, sf):
+    """Snapshot dedup (dedup.dedup_url_keep_latest): newest capture per
+    canonical URL, one map-side-combinable groupBy.  Fixture URLs need
+    canonicalization to collide (case, :80, fragment); capture times are
+    distinct within each group so the survivor is unique."""
+    did = F.col("doc_id")
+    url = F.concat(F.lit("HTTP://Example"), (did % 40).cast("string"),
+                   F.lit(".com:80/p/"), (did % 120).cast("string"),
+                   F.lit("#f"), did.cast("string"))
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", url.alias("url"),
+        (F.lit(1704067200) + (did * 37) % 500).alias("ts"))
+    return dedup.dedup_url_keep_latest(docs, url_col="url", ts_col="ts")
+
+
+_SAMPLE_RATES = {"en": 0.65, "de": 0.4, "fr": 0.15}
+
+
+def q_stratified_sample(spark, sf):
+    """Corpus mixing (textops.stratified_sample): deterministic md5-keyed
+    per-language keep-rates, unlisted languages at the 5% default.  Pure
+    row-local filter — reproducible across engines and partitionings,
+    which is exactly what the DuckDB oracle verifies."""
+    docs = _t(spark, sf, "documents").select("doc_id", "lang")
+    return textops.stratified_sample(docs, "lang", _SAMPLE_RATES,
+                                     key_col="doc_id", default_rate=0.05)
+
+
 def q_writer_sink_roundtrip(spark, sf):
     """The df.write front door: two appends through Spark's V2 commit
     protocol (chunks task-side, manifests published by the driver
@@ -909,6 +956,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_overlap": q_contamination_overlap,
         "dedup_keep_canonical": q_dedup_keep_canonical,
         "host_blocklist_matches": q_host_blocklist_matches,
+        "repeated_passage_removal": q_repeated_passage_removal,
+        "url_keep_latest": q_url_keep_latest,
+        "stratified_sample": q_stratified_sample,
         "catalog_restore": q_catalog_restore,
         "schema_evolution_store": q_schema_evolution_store,
         "multischema_routing": q_multischema_routing,
@@ -1179,6 +1229,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, host, max_by(rule, length(rule)) AS rule
             FROM m GROUP BY doc_id, host
         """,
+        "repeated_passage_removal": """
+            WITH u AS (SELECT doc_id,
+                CASE WHEN doc_id % 10 = 0 THEN 'shared footer boilerplate'
+                     WHEN doc_id % 10 = 1 THEN
+                          'alpha beta gamma ' || CAST(doc_id % 400 AS VARCHAR)
+                          || chr(10) || chr(10)
+                          || 'unique content ' || CAST(doc_id AS VARCHAR)
+                     ELSE 'alpha beta gamma ' || CAST(doc_id % 400 AS VARCHAR)
+                          || chr(10) || 'shared footer boilerplate'
+                          || chr(10)
+                          || 'unique content ' || CAST(doc_id AS VARCHAR)
+                END AS text
+                FROM documents),
+            p AS (SELECT doc_id, s.pos AS pos, s.passage AS passage
+                  FROM (SELECT doc_id,
+                               unnest(list_transform(
+                                   string_split(text, chr(10)),
+                                   (x, i) -> {'pos': i, 'passage': x})) AS s
+                        FROM u)),
+            hot AS (SELECT passage FROM p WHERE passage <> ''
+                    GROUP BY passage HAVING count(*) >= 2)
+            SELECT doc_id,
+                   string_agg(passage, chr(10) ORDER BY pos) AS text
+            FROM p
+            WHERE passage = ''
+               OR passage NOT IN (SELECT passage FROM hot)
+            GROUP BY doc_id
+        """,
+        "url_keep_latest": f"""
+            WITH u AS (SELECT doc_id,
+                'HTTP://Example' || CAST(doc_id % 40 AS VARCHAR)
+                    || '.com:80/p/' || CAST(doc_id % 120 AS VARCHAR)
+                    || '#f' || CAST(doc_id AS VARCHAR) AS url,
+                1704067200 + (doc_id * 37) % 500 AS ts
+                FROM documents),
+            c AS (SELECT doc_id, url, ts,
+                         {textops.canonical_url_sql('url')} AS canon
+                  FROM u)
+            SELECT doc_id, url, ts FROM c
+            QUALIFY row_number() OVER (PARTITION BY canon
+                                       ORDER BY ts DESC, doc_id DESC) = 1
+        """,
+        "stratified_sample": (
+            "SELECT doc_id, lang FROM ("
+            + textops.stratified_sample_sql(
+                "(SELECT doc_id, lang FROM documents)", "lang",
+                _SAMPLE_RATES, "doc_id", 0.05)
+            + ")"),
         "redact_pii": textops.redact_pii_sql(
             src="(SELECT doc_id, text || ' contact u' "
                 "|| CAST(doc_id AS VARCHAR) || '@ex.com or ' "

@@ -284,6 +284,97 @@ def dedup_keep_canonical(df: DataFrame, pairs: DataFrame,
     return df.join(losers, id_col, "left_anti")
 
 
+def remove_repeated_passages(df: DataFrame, min_count: int = 2,
+                             sep: str = "\n", text_col: str = "text",
+                             id_col: str = "doc_id",
+                             drop_empty: bool = True) -> DataFrame:
+    """CCNet-style boilerplate removal: delete every passage (text split
+    on ``sep``, typically a line or paragraph) that occurs at least
+    ``min_count`` times ACROSS THE WHOLE CORPUS, then reassemble each
+    document from its surviving passages in original order.
+
+    Nav bars, cookie banners, and footers repeat across a crawl while
+    real content doesn't — corpus-frequency passage removal is the
+    content-extraction pass CCNet/RefinedWeb run before any
+    document-level dedup.  Empty passages (separator runs) are preserved
+    verbatim: they carry document structure, not boilerplate.  Documents
+    whose every passage was boilerplate are dropped when ``drop_empty``
+    (CCNet behavior) or kept with empty text otherwise.
+
+    Returns ``df``'s columns unchanged, with ``text_col`` rewritten.
+
+    Spark shape: the passage explode is a flatMap (no shuffle); the
+    corpus frequency count is ONE groupBy on md5(passage) with map-side
+    partial agg (32-hex keys shuffle, never the passage bytes); the
+    hot-set probe is a hash equijoin on that same md5 (AQE broadcasts it
+    when the boilerplate set is small; at crawl scale it stays a
+    sort-merge join — the hot set is unbounded, forcing broadcast would
+    OOM); reassembly is one groupBy(doc) of (pos, passage) structs.
+    Three shuffles total, each data- or count-sized, no persist, no
+    Python.
+    """
+    parts = F.split(F.col(text_col), "\\Q" + sep + "\\E", -1)
+    exploded = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(parts).alias("__pos", "__passage"))
+    hot = (exploded.filter(F.col("__passage") != "")
+           .groupBy(F.md5("__passage").alias("__h"))
+           .agg(F.count("*").alias("__cnt"))
+           .filter(F.col("__cnt") >= min_count)
+           .select("__h"))
+    kept = (exploded
+            .join(hot.withColumn("__dup", F.lit(1)),
+                  F.md5(F.col("__passage")) == F.col("__h"), "left")
+            .filter(F.col("__dup").isNull())
+            .select("__id", "__pos", "__passage"))
+    rebuilt = (kept.groupBy("__id")
+               .agg(F.array_join(
+                   F.transform(
+                       F.array_sort(F.collect_list(
+                           F.struct("__pos", "__passage"))),
+                       lambda s: s["__passage"]),
+                   sep).alias("__text")))
+    others = df.select(F.col(id_col).alias("__id"),
+                       *[c for c in df.columns if c != text_col])
+    joined = others.join(rebuilt, "__id",
+                         "inner" if drop_empty else "left")
+    return joined.select(*[
+        F.coalesce("__text", F.lit("")).alias(text_col) if c == text_col
+        else F.col(c)
+        for c in df.columns])
+
+
+def dedup_url_keep_latest(df: DataFrame, url_col: str = "url",
+                          ts_col: str = "warc_ts",
+                          id_col: str = "doc_id") -> DataFrame:
+    """URL-level snapshot dedup: keep the NEWEST capture per canonical
+    URL — the very first dedup pass of a multi-snapshot crawl (Common
+    Crawl re-fetches the same page every dump; training wants one copy,
+    the freshest).  Ties on the timestamp break deterministically by the
+    larger ``id_col``.
+
+    Rows and columns pass through unchanged (one survivor per canonical
+    URL).  Canonicalization is :func:`dumpster.textops.canonical_url`
+    (case, fragment, default ports), so ``http://A.com/x#f`` and
+    ``http://a.com:80/x`` collapse to one key.
+
+    Spark shape: ONE groupBy on the canonical URL with
+    ``max_by(struct(row), struct(ts, id))`` — partial aggregation runs
+    map-side (each task keeps one candidate row per key before the
+    shuffle), so the exchange carries at most one row per (task, URL):
+    strictly cheaper than the window-function formulation, which
+    shuffles every row and then sorts.  Host-skewed URLs are fine — the
+    key is the full URL, not the host.
+    """
+    from .textops import canonical_url
+    canon = canonical_url(F.col(url_col))
+    return (df.groupBy(canon.alias("__canon"))
+            .agg(F.max_by(F.struct(*df.columns),
+                          F.struct(F.col(ts_col), F.col(id_col)))
+                 .alias("__r"))
+            .select("__r.*"))
+
+
 def near_dup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     """Connected components over near-dup pair edges — the clustering step
     of a fuzzy-dedup pipeline (pairs from minhash_lsh_pairs /

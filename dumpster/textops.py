@@ -432,6 +432,50 @@ PII_PATTERNS = (
 )
 
 
+def stratified_sample(df: DataFrame, strata_col: str,
+                      rates: dict, key_col: str = "doc_id",
+                      default_rate: float = 0.0,
+                      resolution: int = 1_000_000) -> DataFrame:
+    """Deterministic per-stratum sampling — the corpus-mixing step that
+    turns a filtered crawl into a training mix ("keep 100% of books,
+    30% of en web, 5% of low-quality"): each stratum value gets its own
+    keep-rate; unlisted strata fall back to ``default_rate``.
+
+    A row is kept iff ``md5(key) mod resolution < rate*resolution``, so
+    the sample is a pure row-local filter: reproducible across runs,
+    engines, and cluster sizes (no RNG state, no ``df.sample`` whose
+    output depends on partitioning), stable under re-partitioning, and
+    consistent across tables sharing the key (joinable samples).  Zero
+    shuffle, no Python; at 10^12 docs it is a map-only scan.
+
+    Rows and columns pass through unchanged.
+    """
+    from .dedup import shingle_hash
+    bucket = F.pmod(shingle_hash(F.col(key_col).cast("string")),
+                    F.lit(resolution))
+    rate = F.lit(int(round(default_rate * resolution)))
+    for k, v in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == k,
+                      F.lit(int(round(v * resolution)))).otherwise(rate)
+    return df.filter(bucket < rate)
+
+
+def stratified_sample_sql(src: str, strata_expr: str, rates: dict,
+                          key_expr: str = "doc_id",
+                          default_rate: float = 0.0,
+                          resolution: int = 1_000_000) -> str:
+    """DuckDB oracle equivalent of :func:`stratified_sample` (same
+    md5-derived 60-bit bucket, same threshold arithmetic)."""
+    whens = " ".join(
+        f"WHEN '{k}' THEN {int(round(v * resolution))}"
+        for k, v in sorted(rates.items()))
+    return (f"SELECT * FROM {src} WHERE "
+            f"CAST(('0x' || substr(md5(CAST({key_expr} AS VARCHAR)), 1, 15))"
+            f" AS BIGINT) % {resolution} < "
+            f"CASE {strata_expr} {whens} "
+            f"ELSE {int(round(default_rate * resolution))} END")
+
+
 def redact_pii(df: DataFrame, text_col: str = "text",
                id_col: str = "doc_id") -> DataFrame:
     """Training-data PII scrubbing (the C4/RefinedWeb preprocessing step;

@@ -183,3 +183,62 @@ def test_host_blocklist_suffix_semantics(spark):
     kept = textops.host_blocklist_filter(docs_url, bl)
     assert sorted(r.doc_id for r in kept.collect()) == [3, 6]
     assert kept.columns == docs_url.columns
+
+
+def test_remove_repeated_passages_semantics(spark):
+    """Corpus-hot passages vanish everywhere, order and empty passages
+    survive, all-boilerplate docs drop (or keep '' with drop_empty=False),
+    non-text columns pass through."""
+    rows = [(1, "intro one\nFOOTER\nbody of one", "a"),
+            (2, "intro two\nFOOTER\nbody of two", "b"),
+            (3, "solo passage\n\nFOOTER", "c"),       # empty passage kept
+            (4, "FOOTER", "d"),                        # all hot → dropped
+            (5, "body of one", "e")]                   # hot via doc 1
+    df = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    out = {r.doc_id: r for r in
+           dedup.remove_repeated_passages(df, min_count=2).collect()}
+    assert sorted(out) == [1, 2, 3]
+    # 'body of one' occurs in docs 1 and 5 → hot → removed from both
+    assert out[1].text == "intro one"
+    assert out[2].text == "intro two\nbody of two"
+    assert out[3].text == "solo passage\n"             # empty line preserved
+    assert out[1].src == "a"                           # other cols intact
+    kept = dedup.remove_repeated_passages(df, min_count=2, drop_empty=False)
+    m = {r.doc_id: r.text for r in kept.collect()}
+    assert m[4] == "" and m[5] == "" and sorted(m) == [1, 2, 3, 4, 5]
+    assert kept.columns == df.columns
+
+
+def test_dedup_url_keep_latest(spark):
+    """Canonicalization collapses case/:80/fragment variants; the newest
+    ts wins; ts ties break on the larger doc_id."""
+    rows = [(1, "http://a.com/x", 100),
+            (2, "HTTP://A.com:80/x#frag", 200),   # same canon, newer → wins
+            (3, "http://a.com/y", 100),
+            (4, "http://a.com/y", 100),           # tie → larger id wins
+            (5, "https://b.org/", 50)]
+    df = spark.createDataFrame(rows, "doc_id long, url string, ts long")
+    out = sorted(r.doc_id for r in
+                 dedup.dedup_url_keep_latest(df, ts_col="ts").collect())
+    assert out == [2, 4, 5]
+
+
+def test_stratified_sample_determinism_and_rates(spark):
+    """rate 1.0 keeps every row of the stratum, 0.0 drops all, unlisted
+    strata use the default; the filter is a pure function of the key."""
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en")
+         .when(F.col("id") % 3 == 1, "de").otherwise("xx").alias("lang"))
+    rates = {"en": 1.0, "de": 0.5}
+    s = textops.stratified_sample(df, "lang", rates, default_rate=0.0)
+    got = s.groupBy("lang").count().collect()
+    c = {r.lang: r["count"] for r in got}
+    assert c.get("en") == df.filter("lang = 'en'").count()   # 1.0 → all
+    assert "xx" not in c                                     # default 0.0
+    assert 0 < c.get("de", 0) < df.filter("lang = 'de'").count()
+    # determinism: same ids on a re-run and under a different partitioning
+    ids1 = sorted(r.doc_id for r in s.collect())
+    ids2 = sorted(r.doc_id for r in textops.stratified_sample(
+        df.repartition(17), "lang", rates, default_rate=0.0).collect())
+    assert ids1 == ids2

@@ -194,6 +194,73 @@ def main():
             "BroadcastHashJoin" in p,
     })
 
+    # 7. repeated-passage removal: explode is a flatMap (Generate, no
+    # exchange before it), corpus count partial-aggregates map-side,
+    # no Python anywhere
+    rp = e.queries()["repeated_passage_removal"](spark, SF)
+    p = plan_of(rp)
+    ok &= section("repeated-passage removal (flatMap explode + map-side "
+                  "count + hash probe)", rp, {
+        "no Python evaluation in the plan":
+            "EvalPython" not in p and "PythonUDF" not in p,
+        "passage explode is a Generate node (flatMap, not a join)":
+            "Generate" in p and "posexplode" in p,
+        "corpus-frequency count partial-aggregates before its exchange":
+            "partial_count" in p,
+    })
+
+    # 8. URL keep-latest: ONE exchange, max_by(struct) partial-aggregates
+    # map-side (each task sends at most one candidate row per URL)
+    ul = e.queries()["url_keep_latest"](spark, SF)
+    p = plan_of(ul)
+    ok &= section("URL keep-latest (map-side-combinable max_by groupBy)",
+                  ul, {
+        "exactly one Exchange (the canonical-URL groupBy)":
+            len(re.findall(r"\(\d+\) Exchange", p)) == 1,
+        "partial max_by before the exchange (one candidate per key "
+        "leaves each task)":
+            "partial_max_by" in p or ("max_by" in p and "partial" in p),
+        "no Python evaluation in the plan":
+            "EvalPython" not in p,
+    })
+
+    # 9. stratified sample: pure row-local filter — zero exchanges,
+    # zero Python, survives 10^12 rows as a map-only scan
+    ss = e.queries()["stratified_sample"](spark, SF)
+    p = plan_of(ss)
+    ok &= section("stratified sample (map-only deterministic filter)", ss, {
+        "NO Exchange node anywhere":
+            "Exchange" not in p,
+        "no Python evaluation in the plan":
+            "EvalPython" not in p,
+        "filter sits directly on the parquet scan":
+            "Filter" in p and "Scan parquet" in p,
+    })
+
+    # 10. contamination overlap: benchmark side broadcast, one data
+    # shuffle (the per-doc groupBy)
+    co = e.queries()["contamination_overlap"](spark, SF)
+    p = plan_of(co)
+    ok &= section("contamination overlap (broadcast eval-set probe)", co, {
+        "benchmark n-gram set joins by BroadcastHashJoin":
+            "BroadcastHashJoin" in p,
+        "no Python evaluation in the plan":
+            "EvalPython" not in p,
+    })
+
+    # 11. host blocklist: suffix explode stays a Generate (flatMap), the
+    # blocklist joins broadcast (never a LIKE-join/cartesian)
+    hb = e.queries()["host_blocklist_matches"](spark, SF)
+    p = plan_of(hb)
+    ok &= section("host blocklist (suffix-explode broadcast equijoin)", hb, {
+        "suffix explode is a Generate node":
+            "Generate" in p,
+        "blocklist joins via BroadcastHashJoin (no cartesian)":
+            "BroadcastHashJoin" in p and "Cartesian" not in p,
+        "no Python evaluation in the plan":
+            "EvalPython" not in p,
+    })
+
     spark.stop()
     print(f"\n**overall: {'PASS' if ok else 'FAIL'}**")
     sys.exit(0 if ok else 1)
