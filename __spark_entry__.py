@@ -882,6 +882,52 @@ def q_stratified_sample(spark, sf):
                                      key_col="doc_id", default_rate=0.05)
 
 
+def q_sessionize_events(spark, sf):
+    """Gap-based sessionization (pipeline.sessionize): one shuffle, both
+    windows share a single Exchange+Sort; 6h gap over the 30-day events
+    table gives a mix of multi-event sessions and singletons."""
+    e = _t(spark, sf, "events").select("event_id", "user_id", "ts")
+    return (pipeline.sessionize(e, "user_id", "ts", gap_seconds=21600)
+            .select("event_id", "user_id", "session_id"))
+
+
+_TB_BUDGETS = {"en": 30000, "de": 5000, "zh": 100000, "fr": 0}
+
+
+def q_token_budget_select(spark, sf):
+    """Quality-ordered token-budget selection (textops.
+    select_token_budget): two-phase histogram + boundary-bucket window,
+    exactly equal to the pure window formulation the oracle runs.
+    Budgets cover every path: partial strata (en, de), a stratum whose
+    budget exceeds its total (zh → kept whole, threshold None), a zero
+    budget (fr → dropped), and the default for the unlisted es."""
+    q = ((F.col("doc_id") * 2654435761) % 1000) / 1000.0
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", "lang", q.alias("quality"),
+        F.col("n_chars").alias("n_tokens"))
+    return textops.select_token_budget(
+        docs, "lang", _TB_BUDGETS, default_budget=8000)
+
+
+def q_top_words(spark, sf):
+    """Corpus vocabulary (textops.top_k_words): flatMap explode,
+    map-side-combined word count, TakeOrderedAndProject top-k (per-
+    partition top-k, driver merge — never a global sort shuffle)."""
+    return textops.top_k_words(_t(spark, sf, "documents"), k=50)
+
+
+def q_normalize_text(spark, sf):
+    """Text normalization (textops.normalize_text): control-char strip,
+    CRLF→LF, whitespace-run collapse, paragraph-break collapse, trim —
+    map-only regexp Column pipeline over deterministically messed-up
+    text (tabs, CRs, a NUL, space-padded newlines)."""
+    messy = F.concat(
+        F.lit("  \tIntro\r\n"), F.lit("x\x00y \n  \n \n\nz\t\tw  "),
+        F.lit("\n"), F.col("text"), F.lit("   "))
+    docs = _t(spark, sf, "documents").select("doc_id", messy.alias("text"))
+    return textops.normalize_text(docs)
+
+
 def q_writer_sink_roundtrip(spark, sf):
     """The df.write front door: two appends through Spark's V2 commit
     protocol (chunks task-side, manifests published by the driver
@@ -959,6 +1005,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_passage_removal": q_repeated_passage_removal,
         "url_keep_latest": q_url_keep_latest,
         "stratified_sample": q_stratified_sample,
+        "sessionize_events": q_sessionize_events,
+        "token_budget_select": q_token_budget_select,
+        "top_words": q_top_words,
+        "normalize_text": q_normalize_text,
         "catalog_restore": q_catalog_restore,
         "schema_evolution_store": q_schema_evolution_store,
         "multischema_routing": q_multischema_routing,
@@ -1277,6 +1327,25 @@ def oracle_sql() -> dict[str, str]:
                 "(SELECT doc_id, lang FROM documents)", "lang",
                 _SAMPLE_RATES, "doc_id", 0.05)
             + ")"),
+        "sessionize_events": (
+            "SELECT event_id, user_id, session_id FROM ("
+            + pipeline.sessionize_sql(
+                "(SELECT event_id, user_id, ts FROM events)",
+                "user_id", "ts", 21600, "event_id")
+            + ")"),
+        "token_budget_select": textops.select_token_budget_sql(
+            "(SELECT doc_id, lang, "
+            "((doc_id * 2654435761) % 1000) / 1000.0 AS quality, "
+            "n_chars AS n_tokens FROM documents)",
+            "lang", _TB_BUDGETS, default_budget=8000),
+        "top_words": textops.top_k_words_sql("documents", k=50),
+        "normalize_text": (
+            "SELECT doc_id, "
+            + textops.normalize_text_sql(
+                "('  ' || chr(9) || 'Intro' || chr(13) || chr(10) || "
+                "'x' || chr(0) || 'y \n  \n \n\nz' || chr(9) || chr(9) "
+                "|| 'w  ' || chr(10) || text || '   ')")
+            + " AS text FROM documents"),
         "redact_pii": textops.redact_pii_sql(
             src="(SELECT doc_id, text || ' contact u' "
                 "|| CAST(doc_id AS VARCHAR) || '@ex.com or ' "

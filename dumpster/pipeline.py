@@ -80,6 +80,62 @@ def dedup_replays(df: DataFrame, partition_col: str, offset_col: str) -> DataFra
             .filter(F.col("__rn") == 1).drop("__rn"))
 
 
+def sessionize(df: DataFrame, user_col: str = "user_id",
+               ts_col: str = "ts", gap_seconds: int = 1800,
+               id_col: str = "event_id") -> DataFrame:
+    """Gap-based sessionization of an event stream in batch form: events
+    of one user more than ``gap_seconds`` apart start a new session.
+    Adds a ``session_id`` string column (``"<user>-<n>"``, n counting
+    from 1 in time order); rows and other columns pass through.
+
+    Spark shape: ONE shuffle — both windows (the `lag` that detects a
+    gap and the running sum that numbers sessions) share the same
+    partitioning and ordering, so Catalyst plans a single Exchange +
+    single Sort and evaluates both in one Window pass.  Gap chaining is
+    inherently sequential per user (session n's start depends on every
+    prior event), so one user's events must colocate — the skew bound
+    is max-events-per-user, not corpus size; salting cannot apply here
+    without breaking the semantics.  The gap test is interval arithmetic
+    (``ts > lag(ts) + INTERVAL gap``) — µs-exact and valid for both
+    TIMESTAMP and TIMESTAMP_NTZ columns, with no timezone conversion —
+    and ties break on ``id_col`` so the order (and therefore the
+    session numbering) is deterministic.
+    """
+    from pyspark.sql import Window
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(id_col))
+    ts = F.col(ts_col)
+    prev = F.lag(ts).over(w)
+    new_sess = F.when(
+        prev.isNull()
+        | (ts > prev + F.expr(f"INTERVAL {int(gap_seconds)} SECOND")),
+        F.lit(1)).otherwise(F.lit(0))
+    n = F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    sid = F.concat(F.col(user_col).cast("string"), F.lit("-"),
+                   n.cast("string"))
+    return df.withColumn("session_id", sid)
+
+
+def sessionize_sql(src: str, user_expr: str = "user_id",
+                   ts_expr: str = "ts", gap_seconds: int = 1800,
+                   id_expr: str = "event_id") -> str:
+    """DuckDB oracle for :func:`sessionize` (epoch_us ≡ unix_micros)."""
+    win = f"PARTITION BY {user_expr} ORDER BY {ts_expr}, {id_expr}"
+    return f"""
+        SELECT * EXCLUDE (__ns),
+               CAST({user_expr} AS VARCHAR) || '-' ||
+               CAST(sum(__ns) OVER ({win} ROWS UNBOUNDED PRECEDING)
+                    AS VARCHAR) AS session_id
+        FROM (SELECT *,
+                     CASE WHEN lag(epoch_us({ts_expr})) OVER ({win})
+                               IS NULL
+                          OR epoch_us({ts_expr})
+                             - lag(epoch_us({ts_expr})) OVER ({win})
+                             > {int(gap_seconds) * 1_000_000}
+                          THEN 1 ELSE 0 END AS __ns
+              FROM {src})
+    """
+
+
 def meta_project(df: DataFrame, id_col: str, offset_col: str,
                  partition_col: str, ts_col: str) -> DataFrame:
     """P1+P2: prepend the reference's metadata struct, payload shifted right.

@@ -476,6 +476,194 @@ def stratified_sample_sql(src: str, strata_expr: str, rates: dict,
             f"ELSE {int(round(default_rate * resolution))} END")
 
 
+def select_token_budget(df: DataFrame, strata_col: str, budgets: dict,
+                        quality_col: str = "quality",
+                        token_col: str = "n_tokens",
+                        id_col: str = "doc_id",
+                        default_budget: int = 0,
+                        resolution: int = 1000,
+                        max_hist_groups: int = 2_000_000) -> DataFrame:
+    """Quality-ordered token-budget selection — the corpus-assembly step
+    that says "take the best documents of each stratum until we have B
+    tokens of it": within each stratum, documents are ranked by
+    (``quality_col`` DESC, ``id_col`` ASC) and kept while the token count
+    of the documents ranked before them is still under the stratum's
+    budget (so the document that crosses the budget line is included).
+    Unlisted strata get ``default_budget``; a budget ≤ 0 drops the
+    stratum entirely.  Rows and columns pass through unchanged.
+
+    Semantics are EXACTLY the window formulation
+    ``sum(tokens) OVER (PARTITION BY stratum ORDER BY quality DESC,
+    id ASC) - tokens < budget`` — but a single global window would sort
+    every row of a stratum on one reducer chain, which is the classic
+    skew wall at 10^12 docs (one language = most of the corpus).  The
+    implementation is two-phase instead:
+
+    1. a map-side-combinable groupBy on (stratum,
+       floor(quality·resolution)) builds a token histogram — tiny
+       (strata × occupied buckets, loud error above
+       ``max_hist_groups``), collected driver-side like any other
+       bounded stats surface;
+    2. the driver finds, per stratum, the threshold bucket where the
+       cumulative (quality-descending) token count first reaches the
+       budget.  Rows ABOVE the threshold bucket are kept by a broadcast
+       hash probe (map-only, provably all under budget); only the rows
+       INSIDE the threshold bucket — ~1/resolution of the stratum —
+       pay the exact window sort, seeded with the above-bucket token
+       sum.
+
+    Rows with NULL quality or NULL/negative-token counts are dropped
+    (they have no place in a quality order).  Requires finite quality
+    values; ``resolution`` trades histogram size against the width of
+    the boundary bucket that pays the sort.
+    """
+    from pyspark.sql import Window
+
+    budget = F.lit(int(default_budget))
+    for k, v in sorted(budgets.items()):
+        budget = F.when(F.col(strata_col) == k,
+                        F.lit(int(v))).otherwise(budget)
+    qb = F.floor(F.col(quality_col) * resolution)
+    base = (df.filter(F.col(quality_col).isNotNull()
+                      & F.col(token_col).isNotNull()
+                      & (F.col(token_col) >= 0)
+                      & (budget > 0))
+            .withColumn("__qb", qb))
+
+    hist = (base.groupBy(strata_col, "__qb")
+            .agg(F.sum(token_col).alias("__tok"))
+            .collect())
+    if len(hist) > max_hist_groups:
+        raise RuntimeError(
+            f"select_token_budget: quality histogram has {len(hist)} "
+            f"(stratum, bucket) groups > max_hist_groups="
+            f"{max_hist_groups}; lower `resolution` (quality values may "
+            f"be near-unique at this resolution)")
+
+    budget_of = {k: int(v) for k, v in budgets.items()}
+    per_stratum: dict = {}
+    for r in hist:
+        per_stratum.setdefault(r[strata_col], []).append((r["__qb"], r["__tok"]))
+    # (threshold bucket, tokens above it) per stratum; threshold None ⇒
+    # the whole stratum fits inside its budget
+    bounds = []
+    for s, buckets in per_stratum.items():
+        b = budget_of.get(s, int(default_budget))
+        cum, thr, above = 0, None, 0
+        for bucket, tok in sorted(buckets, reverse=True):
+            if cum + tok >= b:
+                thr, above = bucket, cum
+                break
+            cum += tok
+        bounds.append((s, thr, above, b))
+
+    spark = df.sparkSession
+    bdf = F.broadcast(spark.createDataFrame(
+        bounds, f"`{strata_col}` string, __thr long, __above long, __b long"))
+    probed = base.join(bdf, strata_col, "inner")
+    kept_full = probed.filter(F.col("__thr").isNull()
+                              | (F.col("__qb") > F.col("__thr")))
+    w = (Window.partitionBy(strata_col)
+         .orderBy(F.col(quality_col).desc(), F.col(id_col).asc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    boundary = (probed.filter(F.col("__qb") == F.col("__thr"))
+                .withColumn("__cum", F.sum(token_col).over(w))
+                .filter(F.col("__above") + F.col("__cum")
+                        - F.col(token_col) < F.col("__b")))
+    out_cols = [F.col(c) for c in df.columns]
+    return kept_full.select(*out_cols).unionAll(boundary.select(*out_cols))
+
+
+def select_token_budget_sql(src: str, strata_expr: str, budgets: dict,
+                            quality_expr: str = "quality",
+                            token_expr: str = "n_tokens",
+                            id_expr: str = "doc_id",
+                            default_budget: int = 0) -> str:
+    """DuckDB oracle for :func:`select_token_budget` — the pure window
+    formulation the two-phase implementation is exactly equal to."""
+    whens = " ".join(f"WHEN '{k}' THEN {int(v)}"
+                     for k, v in sorted(budgets.items()))
+    return (
+        f"SELECT * FROM {src} "
+        f"WHERE {quality_expr} IS NOT NULL AND {token_expr} IS NOT NULL "
+        f"AND {token_expr} >= 0 "
+        f"AND (CASE {strata_expr} {whens} ELSE {int(default_budget)} END) > 0 "
+        f"QUALIFY sum({token_expr}) OVER (PARTITION BY {strata_expr} "
+        f"ORDER BY {quality_expr} DESC, {id_expr} ASC "
+        f"ROWS UNBOUNDED PRECEDING) - {token_expr} < "
+        f"CASE {strata_expr} {whens} ELSE {int(default_budget)} END")
+
+
+def top_k_words(df: DataFrame, k: int = 100,
+                text_col: str = "text") -> DataFrame:
+    """Corpus vocabulary: the k most frequent lowercase whitespace-split
+    words with counts — the first statistic anyone computes before
+    training a tokenizer (and the stop-word list for quality signals).
+    Ties break on the alphabetically first word.  Returns (word, cnt).
+
+    Spark shape: explode is a flatMap; the word count partial-aggregates
+    map-side so the exchange carries one row per (task, word); the
+    top-k is `ORDER BY … LIMIT k`, which Catalyst plans as
+    TakeOrderedAndProject — each partition keeps only its own top k and
+    the driver merges k·partitions rows, never a global sort shuffle.
+    """
+    words = df.select(F.explode(
+        F.split(F.lower(F.col(text_col)), r"\s+")).alias("word"))
+    return (words.filter(F.col("word") != "")
+            .groupBy("word").agg(F.count("*").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("word").asc())
+            .limit(k))
+
+
+def top_k_words_sql(src: str, k: int = 100,
+                    text_expr: str = "text") -> str:
+    """DuckDB oracle for :func:`top_k_words`."""
+    return (
+        f"SELECT word, count(*) AS cnt FROM ("
+        f"SELECT unnest(regexp_split_to_array(lower({text_expr}), '\\s+'))"
+        f" AS word FROM {src}) WHERE word <> '' "
+        f"GROUP BY word ORDER BY cnt DESC, word ASC LIMIT {int(k)}")
+
+
+# control chars minus \t \n \r (kept: they are whitespace, handled below)
+_CTRL_CLASS = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+
+
+def normalize_text(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Text normalization (the C4/CCNet pre-pass): strip control
+    characters, normalize CRLF/CR to LF, collapse horizontal-whitespace
+    runs to one space, collapse 3+ newlines to a paragraph break, and
+    trim spaces.  ``text_col`` is rewritten in place; everything else
+    passes through.  Pure regexp Column expressions — map-only,
+    JVM-side, zero shuffle (the regex dialect sticks to character
+    classes valid in both Java regex and RE2, so the DuckDB oracle
+    matches byte-for-byte).
+    """
+    t = F.col(text_col)
+    t = F.regexp_replace(t, _CTRL_CLASS, "")
+    t = F.regexp_replace(t, r"\r\n?", "\n")
+    t = F.regexp_replace(t, r"[ \t]+", " ")
+    t = F.regexp_replace(t, r" ?\n ?", "\n")       # strip spaces around \n
+    t = F.regexp_replace(t, r"\n{3,}", "\n\n")
+    t = F.trim(t)                                  # spaces at string ends
+    return df.select(*[t.alias(c) if c == text_col else F.col(c)
+                       for c in df.columns])
+
+
+def normalize_text_sql(text_expr: str = "text") -> str:
+    """DuckDB expression equivalent of :func:`normalize_text` (same
+    regex pipeline, RE2 'g' flag).  DuckDB string literals are
+    backslash-literal, so patterns embed verbatim (only quotes escape);
+    replacement newlines embed as real newline characters."""
+    e = text_expr
+    for pat, rep in ((_CTRL_CLASS, ""), (r"\r\n?", "\n"),
+                     (r"[ \t]+", " "), (r" ?\n ?", "\n"),
+                     (r"\n{3,}", "\n\n")):
+        pat = pat.replace("'", "''")
+        e = f"regexp_replace({e}, '{pat}', '{rep}', 'g')"
+    return f"trim({e}, ' ')"
+
+
 def redact_pii(df: DataFrame, text_col: str = "text",
                id_col: str = "doc_id") -> DataFrame:
     """Training-data PII scrubbing (the C4/RefinedWeb preprocessing step;

@@ -242,3 +242,73 @@ def test_stratified_sample_determinism_and_rates(spark):
     ids2 = sorted(r.doc_id for r in textops.stratified_sample(
         df.repartition(17), "lang", rates, default_rate=0.0).collect())
     assert ids1 == ids2
+
+
+def test_sessionize_gap_semantics(spark):
+    """Events > gap apart start a new session; ties order by event_id;
+    numbering restarts per user; columns pass through + session_id."""
+    from dumpster import pipeline
+    rows = [(1, 10, "2024-01-01 00:00:00"),
+            (2, 10, "2024-01-01 00:10:00"),    # within 30min gap
+            (3, 10, "2024-01-01 01:00:00"),    # 50min → new session
+            (4, 11, "2024-01-01 00:00:00"),
+            (5, 11, "2024-01-01 00:30:00.000001")]  # 1µs past gap → new
+    df = spark.createDataFrame(rows, "event_id long, user_id long, s string") \
+        .select("event_id", "user_id", F.col("s").cast("timestamp").alias("ts"))
+    out = {r.event_id: r.session_id for r in
+           pipeline.sessionize(df, gap_seconds=1800).collect()}
+    assert out == {1: "10-1", 2: "10-1", 3: "10-2", 4: "11-1", 5: "11-2"}
+
+
+def test_select_token_budget_paths(spark):
+    """Partial stratum (crossing doc included), over-budget stratum kept
+    whole, zero-budget stratum dropped, default budget, quality ties
+    break on id, null quality dropped."""
+    rows = [  # (id, lang, quality, tokens)
+        (1, "en", 0.9, 4), (2, "en", 0.8, 4), (3, "en", 0.7, 4),
+        (4, "de", 0.5, 100),                       # budget 1000 > total
+        (5, "fr", 0.9, 10),                        # budget 0 → dropped
+        (6, "es", 0.9, 3), (7, "es", 0.9, 3),      # tie → id asc
+        (8, "es", 0.1, 3),
+        (9, "en", None, 1),                        # null quality dropped
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, quality double, n_tokens long")
+    out = sorted(r.doc_id for r in textops.select_token_budget(
+        df, "lang", {"en": 6, "de": 1000, "fr": 0},
+        default_budget=5).collect())
+    # en budget 6: doc1 before=0<6 keep, doc2 before=4<6 keep (crosses),
+    # doc3 before=8 drop.  es default 5: doc6 0<5, doc7 3<5, doc8 6 drop.
+    assert out == [1, 2, 4, 6, 7]
+    # boundary-bucket seeding: many docs, same answer as brute force
+    big = spark.range(200).select(
+        F.col("id").alias("doc_id"), F.lit("en").alias("lang"),
+        ((F.col("id") * 7919) % 100 / 100.0).alias("quality"),
+        (F.col("id") % 13 + 1).alias("n_tokens"))
+    got = sorted(r.doc_id for r in textops.select_token_budget(
+        big, "lang", {"en": 300}, resolution=10).collect())
+    from pyspark.sql import Window
+    w = (Window.partitionBy("lang")
+         .orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    want = sorted(r.doc_id for r in big
+                  .withColumn("c", F.sum("n_tokens").over(w))
+                  .filter(F.col("c") - F.col("n_tokens") < 300).collect())
+    assert got == want and len(got) > 10
+
+
+def test_top_k_words(spark):
+    df = spark.createDataFrame(
+        [(1, "The cat and the dog"), (2, "a cat\tand a   hat")],
+        "doc_id long, text string")
+    out = [(r.word, r.cnt) for r in textops.top_k_words(df, k=3).collect()]
+    assert out == [("a", 2), ("and", 2), ("cat", 2)]   # ties → word asc
+
+
+def test_normalize_text(spark):
+    df = spark.createDataFrame(
+        [(1, "  \tA\x00B\r\nline  two\t x \n \n \n\n end  ")],
+        "doc_id long, text string")
+    out = textops.normalize_text(df).collect()[0]
+    assert out.text == "AB\nline two x\n\nend"
+    assert out.doc_id == 1

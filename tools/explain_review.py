@@ -261,6 +261,60 @@ def main():
             "EvalPython" not in p,
     })
 
+    # 12. sessionize: both windows (gap lag + running session sum) share
+    # one Exchange + one Sort — a second sort would mean Catalyst failed
+    # to merge the window specs
+    se = e.queries()["sessionize_events"](spark, SF)
+    p = plan_of(se)
+    ok &= section("sessionize (two windows, ONE Exchange + ONE Sort)", se, {
+        "exactly one Exchange (the per-user window partitioning)":
+            len(re.findall(r"\(\d+\) Exchange", p)) == 1,
+        "exactly one Sort (both windows share spec)":
+            len(re.findall(r"\(\d+\) Sort\b", p)) == 1,
+        "no Python evaluation in the plan":
+            "EvalPython" not in p,
+    })
+
+    # 13. token-budget selection: the per-stratum bounds join broadcast
+    # (map-only probe for everything above the threshold bucket); only
+    # the boundary bucket pays a window sort
+    tb = e.queries()["token_budget_select"](spark, SF)
+    p = plan_of(tb)
+    ok &= section("token-budget selection (broadcast bounds probe, "
+                  "window only on the boundary bucket)", tb, {
+        "threshold bounds join via BroadcastHashJoin":
+            "BroadcastHashJoin" in p,
+        "no Python evaluation in the plan":
+            "EvalPython" not in p,
+        "no cartesian product":
+            "Cartesian" not in p,
+    })
+
+    # 14. top-k words: the LIMIT plans as TakeOrderedAndProject (per-
+    # partition top-k, driver merge) — a Sort + GlobalLimit would be a
+    # full sort shuffle
+    tw = e.queries()["top_words"](spark, SF)
+    p = plan_of(tw)
+    ok &= section("top-k words (TakeOrderedAndProject, no global sort)",
+                  tw, {
+        "top-k is TakeOrderedAndProject":
+            "TakeOrderedAndProject" in p,
+        "word count partial-aggregates before its exchange":
+            "partial_count" in p,
+        "no Python evaluation in the plan":
+            "EvalPython" not in p,
+    })
+
+    # 15. normalize_text: map-only regexp pipeline
+    nt = e.queries()["normalize_text"](spark, SF)
+    p = plan_of(nt)
+    ok &= section("normalize_text (map-only regexp pipeline)", nt, {
+        "NO Exchange node anywhere":
+            "Exchange" not in p,
+        "no Python evaluation in the plan":
+            "EvalPython" not in p,
+    })
+
     spark.stop()
     print(f"\n**overall: {'PASS' if ok else 'FAIL'}**")
     sys.exit(0 if ok else 1)
