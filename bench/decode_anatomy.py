@@ -82,9 +82,13 @@ def main():
             F.count("*"), F.sum(F.octet_length("text"))).collect()
         obs.append(time.perf_counter() - t0)
 
-    # (b) plan fixed cost — identical stages, no file opened: manifest
-    # scan → same exchange → mapInArrow over file names that emits one
-    # row per name → agg
+    # (b) plan fixed cost — identical stages, no file opened.  Mirrors
+    # decode_table's SMALL-MANIFEST fast path exactly: driver-side
+    # pyarrow listing of the manifest → exchange-free spark.range feed
+    # (indices; the file list rides the closure) → mapInArrow that opens
+    # nothing → agg.  (The old replica modelled the distributed shape —
+    # manifest-scan job + repartition + dropDuplicates — which small
+    # manifests no longer pay.)
     manifest = read_manifest(spark, out)
     par = max(spark.sparkContext.defaultParallelism, 1)
 
@@ -93,11 +97,17 @@ def main():
             yield pa.RecordBatch.from_arrays(
                 [pa.array([b.num_rows], type=pa.int64())], names=["n"])
 
+    import pyarrow.dataset as _ds
+    mdir = os.path.join(out, "manifest")
     fixed = []
     for _ in range(trials):
         t0 = time.perf_counter()
-        (manifest.select("file")
-         .repartition(par * 2, F.col("file")).dropDuplicates(["file"])
+        mfiles = [os.path.join(mdir, f) for f in sorted(os.listdir(mdir))
+                  if f.endswith(".parquet")]
+        kept = sorted(set(_ds.dataset(mfiles).to_table(
+            columns=["file"]).column(0).to_pylist()))
+        (spark.range(0, len(kept),
+                     numPartitions=max(1, min(par * 2, len(kept))))
          .mapInArrow(noop, "n long").agg(F.sum("n")).collect())
         fixed.append(time.perf_counter() - t0)
 
