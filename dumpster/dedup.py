@@ -62,17 +62,27 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text",
 
 def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
              n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document, JVM-side only."""
-    toks = F.split(F.col(text_col), " ")
+    """Distinct word n-gram shingles per document, JVM-side only.
+
+    The token array is materialized in its own projection FIRST and the
+    n-gram lambda only references that bound column: inlining the
+    `split()` into the lambda (the old shape) makes every `element_at`
+    re-split the whole text — O(words²) per document, measured 6.8 s of
+    a 7.3 s minhash wall at sf0.1.  Catalyst's CollapseProject keeps a
+    multiply-referenced non-cheap alias materialized, which this shape
+    relies on (pinned by the timing-sensitive bench and the oracle)."""
+    toks_df = df.select(F.col(id_col).alias("doc_id"),
+                        F.split(F.col(text_col), " ").alias("__toks"))
+    toks = F.col("__toks")
     sh = F.transform(
         toks,
         lambda x, i: F.when(
             i <= F.size(toks) - n,
             F.concat_ws(" ", *[F.element_at(toks, i + j + 1)
                                for j in range(n)])))
-    return (df.select(F.col(id_col).alias("doc_id"),
-                      F.explode(F.array_distinct(F.filter(
-                          sh, lambda s: s.isNotNull()))).alias("shingle")))
+    return (toks_df.select("doc_id",
+                           F.explode(F.array_distinct(F.filter(
+                               sh, lambda s: s.isNotNull()))).alias("shingle")))
 
 
 def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
