@@ -916,6 +916,16 @@ def q_top_words(spark, sf):
     return textops.top_k_words(_t(spark, sf, "documents"), k=50)
 
 
+def q_pack_sequences(spark, sf):
+    """Concat-and-chunk sequence packing (textops.pack_sequences):
+    distributed two-phase prefix sum ≡ the oracle's single global
+    window; documents straddle 4096-token windows, n_chars stands in
+    for the token count."""
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", F.col("n_chars").alias("n_tokens"))
+    return textops.pack_sequences(docs, seq_len=4096)
+
+
 def q_normalize_text(spark, sf):
     """Text normalization (textops.normalize_text): control-char strip,
     CRLF→LF, whitespace-run collapse, paragraph-break collapse, trim —
@@ -1008,6 +1018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": q_sessionize_events,
         "token_budget_select": q_token_budget_select,
         "top_words": q_top_words,
+        "pack_sequences": q_pack_sequences,
         "normalize_text": q_normalize_text,
         "catalog_restore": q_catalog_restore,
         "schema_evolution_store": q_schema_evolution_store,
@@ -1339,6 +1350,8 @@ def oracle_sql() -> dict[str, str]:
             "n_chars AS n_tokens FROM documents)",
             "lang", _TB_BUDGETS, default_budget=8000),
         "top_words": textops.top_k_words_sql("documents", k=50),
+        "pack_sequences": textops.pack_sequences_sql(
+            "(SELECT doc_id, n_chars AS n_tokens FROM documents)", 4096),
         "normalize_text": (
             "SELECT doc_id, "
             + textops.normalize_text_sql(

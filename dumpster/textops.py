@@ -594,6 +594,72 @@ def select_token_budget_sql(src: str, strata_expr: str, budgets: dict,
         f"CASE {strata_expr} {whens} ELSE {int(default_budget)} END")
 
 
+def pack_sequences(df: DataFrame, seq_len: int,
+                   token_col: str = "n_tokens", id_col: str = "doc_id",
+                   num_partitions: int | None = None) -> DataFrame:
+    """Concat-and-chunk sequence packing — the LLM-pretraining step that
+    lays every document end-to-end (in ``id_col`` order) into one token
+    stream and cuts it into fixed ``seq_len`` windows: each document
+    gets its global ``tok_offset`` plus the first/last training-sequence
+    index it lands in (``seq_first``/``seq_last``; documents straddle
+    windows, zero-token documents pin to ``seq_first``).  Rows with NULL
+    token counts are dropped; other columns pass through.
+
+    Semantics are exactly the global running sum
+    ``sum(tokens) OVER (ORDER BY id) - tokens`` — but that window is a
+    single-reducer sort at 10^12 docs.  The implementation is the classic
+    distributed prefix sum instead: range-partition by id (partition k's
+    ids all precede partition k+1's), cumulative-sum WITHIN each
+    partition, then add each partition's token-prefix — P per-partition
+    totals, prefix-summed in a P-row window and broadcast back.  No
+    stage ever sees more than one partition's rows in one sort, and the
+    only driver-sized object is the P-row totals table.  Sequence
+    indices use integer DIV (no double rounding at 2^53+ token streams).
+    """
+    from pyspark.sql import Window
+    P = num_partitions or max(
+        df.sparkSession.sparkContext.defaultParallelism * 2, 2)
+    base = (df.filter(F.col(token_col).isNotNull())
+            .repartitionByRange(P, F.col(id_col))
+            .withColumn("__pid", F.spark_partition_id()))
+    wp = (Window.partitionBy("__pid").orderBy(id_col)
+          .rowsBetween(Window.unboundedPreceding, 0))
+    within = base.withColumn("__cum", F.sum(token_col).over(wp))
+    totals = base.groupBy("__pid").agg(F.sum(token_col).alias("__t"))
+    wt = (Window.orderBy("__pid")        # P rows — trivially single-task
+          .rowsBetween(Window.unboundedPreceding, -1))
+    prefix = totals.select(
+        "__pid", F.coalesce(F.sum("__t").over(wt), F.lit(0)).alias("__off"))
+    out = (within.join(F.broadcast(prefix), "__pid")
+           .withColumn("tok_offset",
+                       (F.col("__off") + F.col("__cum")
+                        - F.col(token_col)).cast("long")))
+    L = int(seq_len)
+    return (out.withColumn("seq_first", F.expr(f"tok_offset DIV {L}"))
+            .withColumn("seq_last", F.greatest(
+                F.col("seq_first"),
+                F.expr(f"(tok_offset + `{token_col}` - 1) DIV {L}")))
+            .select(*df.columns, "tok_offset", "seq_first", "seq_last"))
+
+
+def pack_sequences_sql(src: str, seq_len: int,
+                       token_expr: str = "n_tokens",
+                       id_expr: str = "doc_id") -> str:
+    """DuckDB oracle for :func:`pack_sequences` — the pure global-window
+    formulation the two-phase prefix sum is exactly equal to."""
+    L = int(seq_len)
+    return f"""
+        SELECT *, tok_offset // {L} AS seq_first,
+               greatest(tok_offset // {L},
+                        (tok_offset + {token_expr} - 1) // {L}) AS seq_last
+        FROM (SELECT *,
+                     sum({token_expr}) OVER (ORDER BY {id_expr}
+                         ROWS UNBOUNDED PRECEDING) - {token_expr}
+                     AS tok_offset
+              FROM {src} WHERE {token_expr} IS NOT NULL)
+    """
+
+
 def top_k_words(df: DataFrame, k: int = 100,
                 text_col: str = "text") -> DataFrame:
     """Corpus vocabulary: the k most frequent lowercase whitespace-split

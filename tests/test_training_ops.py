@@ -312,3 +312,32 @@ def test_normalize_text(spark):
     out = textops.normalize_text(df).collect()[0]
     assert out.text == "AB\nline two x\n\nend"
     assert out.doc_id == 1
+
+
+def test_pack_sequences_prefix_sum(spark):
+    """Two-phase distributed prefix sum equals the single global window;
+    zero-token docs pin to seq_first; null token counts drop; straddling
+    docs span seq_first..seq_last."""
+    from pyspark.sql import Window
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 97 == 3, None)
+         .otherwise((F.col("id") * 31) % 70).alias("n_tokens"))
+    got = textops.pack_sequences(df, seq_len=100, num_partitions=7)
+    rows = {r.doc_id: r for r in got.collect()}
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    want = (df.filter(F.col("n_tokens").isNotNull())
+            .withColumn("off", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+            .collect())
+    assert len(rows) == len(want)
+    for r in want:
+        g = rows[r.doc_id]
+        assert g.tok_offset == r.off
+        assert g.seq_first == r.off // 100
+        assert g.seq_last == max(r.off // 100,
+                                 (r.off + r.n_tokens - 1) // 100)
+    zero = [r for r in want if r.n_tokens == 0][0]
+    assert rows[zero.doc_id].seq_last == rows[zero.doc_id].seq_first
+    straddler = [rows[r.doc_id] for r in want
+                 if rows[r.doc_id].seq_last > rows[r.doc_id].seq_first]
+    assert straddler, "fixture must contain window-straddling docs"

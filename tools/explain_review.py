@@ -315,6 +315,22 @@ def main():
             "EvalPython" not in p,
     })
 
+    # 16. sequence packing: global prefix sum WITHOUT a global window —
+    # the data-sized exchanges are the range partition and the per-pid
+    # window; the only SinglePartition stage is the P-row totals window,
+    # which rejoins via broadcast
+    ps = e.queries()["pack_sequences"](spark, SF)
+    p = plan_of(ps)
+    ok &= section("pack_sequences (distributed prefix sum, no global "
+                  "data window)", ps, {
+        "explicit range partitioning present (ordered pid ranges)":
+            "rangepartitioning" in p.lower(),
+        "partition prefix rejoins via BroadcastHashJoin":
+            "BroadcastHashJoin" in p,
+        "no Python evaluation in the plan":
+            "EvalPython" not in p,
+    })
+
     spark.stop()
     print(f"\n**overall: {'PASS' if ok else 'FAIL'}**")
     sys.exit(0 if ok else 1)
