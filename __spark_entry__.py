@@ -916,6 +916,20 @@ def q_top_words(spark, sf):
     return textops.top_k_words(_t(spark, sf, "documents"), k=50)
 
 
+def q_duplicate_spans(spark, sf):
+    """ExactSubstr-style duplicated-span detection (dedup.
+    duplicate_spans): a 10-token block shared by every doc_id%40 group
+    is injected ahead of the real text, so every doc carries at least
+    one corpus-duplicated 8-gram region; accidental repeats inside the
+    synthetic text are found identically by both engines."""
+    did = F.col("doc_id")
+    g = F.concat(F.lit("g"), (did % 40).cast("string"))
+    block = F.concat_ws(" ", *[g] * 10)
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", F.concat(block, F.lit(" "), F.col("text")).alias("text"))
+    return dedup.duplicate_spans(docs, k=8)
+
+
 def q_pack_sequences(spark, sf):
     """Concat-and-chunk sequence packing (textops.pack_sequences):
     distributed two-phase prefix sum ≡ the oracle's single global
@@ -1019,6 +1033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_select": q_token_budget_select,
         "top_words": q_top_words,
         "pack_sequences": q_pack_sequences,
+        "duplicate_spans": q_duplicate_spans,
         "normalize_text": q_normalize_text,
         "catalog_restore": q_catalog_restore,
         "schema_evolution_store": q_schema_evolution_store,
@@ -1352,6 +1367,10 @@ def oracle_sql() -> dict[str, str]:
         "top_words": textops.top_k_words_sql("documents", k=50),
         "pack_sequences": textops.pack_sequences_sql(
             "(SELECT doc_id, n_chars AS n_tokens FROM documents)", 4096),
+        "duplicate_spans": dedup.duplicate_spans_sql(
+            "(SELECT doc_id, trim(repeat('g' || CAST(doc_id % 40 AS "
+            "VARCHAR) || ' ', 10)) || ' ' || text AS text FROM documents)",
+            k=8),
         "normalize_text": (
             "SELECT doc_id, "
             + textops.normalize_text_sql(

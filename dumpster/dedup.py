@@ -354,6 +354,86 @@ def remove_repeated_passages(df: DataFrame, min_count: int = 2,
         for c in df.columns])
 
 
+def duplicate_spans(df: DataFrame, k: int = 8, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """ExactSubstr-style duplicated-span detection (the Lee et al. 2022
+    "Deduplicating Training Data" primitive, k-gram-marking formulation):
+    for every document, the maximal token spans covered by word k-grams
+    that occur ≥ 2 times ACROSS THE CORPUS (including repeats inside one
+    document).  Returns ``(doc_id, span_start, span_end)`` — 0-based
+    inclusive token indices — one row per merged span; a downstream
+    remover can cut exactly these ranges out of the token stream.
+
+    Spark shape (each stage bounded at 10^12 docs): the token array is
+    materialized once (the shingles() lesson — never inline split() into
+    a per-element lambda); k-gram extraction is a flatMap; the corpus
+    count is ONE map-side-combinable groupBy on md5(gram) (32-hex
+    shuffle keys, never gram bytes); the hot-set probe is a hash
+    equijoin (AQE broadcasts it when small); span merging is
+    gaps-and-islands per document — the window partitions by doc, so
+    its sort is bounded by document length, not corpus size.  Two
+    k-gram starts i < j belong to one span iff j − i ≤ k (their
+    [i, i+k−1] ranges overlap or touch end-to-start).
+    """
+    toks_df = df.select(F.col(id_col).alias("doc_id"),
+                        F.split(F.col(text_col), " ").alias("__toks"))
+    toks = F.col("__toks")
+    grams = F.transform(
+        toks,
+        lambda x, i: F.when(
+            i <= F.size(toks) - k,
+            F.concat_ws(" ", *[F.element_at(toks, i + j + 1)
+                               for j in range(k)])))
+    pos = (toks_df.select("doc_id",
+                          F.posexplode(grams).alias("pos", "gram"))
+           .filter(F.col("gram").isNotNull()))
+    hot = (pos.groupBy(F.md5("gram").alias("__h"))
+           .agg(F.count("*").alias("__c"))
+           .filter(F.col("__c") >= 2).select("__h"))
+    dup = (pos.join(hot, F.md5(F.col("gram")) == F.col("__h"))
+           .select("doc_id", "pos"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = (dup.withColumn(
+        "__new", F.when(F.col("pos") - F.lag("pos").over(w) <= k,
+                        F.lit(0)).otherwise(F.lit(1)))
+        .withColumn("__isl", F.sum("__new").over(
+            w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (isl.groupBy("doc_id", "__isl")
+            .agg(F.min("pos").alias("span_start"),
+                 (F.max("pos") + (k - 1)).alias("span_end"))
+            .select("doc_id", "span_start", "span_end"))
+
+
+def duplicate_spans_sql(src: str, k: int = 8, text_expr: str = "text",
+                        id_expr: str = "doc_id") -> str:
+    """DuckDB oracle for :func:`duplicate_spans` (same k-gram marking,
+    same gaps-and-islands merge)."""
+    return f"""
+        WITH t AS (SELECT {id_expr} AS doc_id,
+                          string_split({text_expr}, ' ') AS toks
+                   FROM {src}),
+        g AS (SELECT doc_id, i - 1 AS pos,
+                     array_to_string(toks[i:i+{int(k) - 1}], ' ') AS gram
+              FROM t, unnest(generate_series(1, len(toks) - {int(k)} + 1))
+                       AS u(i)),
+        hot AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+        d AS (SELECT doc_id, pos FROM g
+              WHERE gram IN (SELECT gram FROM hot)),
+        m AS (SELECT doc_id, pos,
+                     CASE WHEN pos - lag(pos) OVER
+                          (PARTITION BY doc_id ORDER BY pos) <= {int(k)}
+                          THEN 0 ELSE 1 END AS nw
+              FROM d),
+        s AS (SELECT doc_id, pos,
+                     sum(nw) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS UNBOUNDED PRECEDING) AS isl
+              FROM m)
+        SELECT doc_id, min(pos) AS span_start,
+               max(pos) + {int(k) - 1} AS span_end
+        FROM s GROUP BY doc_id, isl
+    """
+
+
 def dedup_url_keep_latest(df: DataFrame, url_col: str = "url",
                           ts_col: str = "warc_ts",
                           id_col: str = "doc_id") -> DataFrame:

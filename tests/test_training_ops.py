@@ -341,3 +341,29 @@ def test_pack_sequences_prefix_sum(spark):
     straddler = [rows[r.doc_id] for r in want
                  if rows[r.doc_id].seq_last > rows[r.doc_id].seq_first]
     assert straddler, "fixture must contain window-straddling docs"
+
+
+def test_duplicate_spans_semantics(spark):
+    """k-grams duplicated across (or within) the corpus mark token
+    ranges; overlapping/adjacent ranges merge; unique text yields no
+    spans; span indices are 0-based inclusive."""
+    #          tokens 0..9
+    a = "a b c d e X Y Z w v"          # shares "a b c d e"… with b
+    b = "a b c d e p q r s t"
+    c = "n o n e m a t c h 1"          # unique
+    d = "u u u u u u u u u u"          # self-repeating k-grams
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c), (4, d)], "doc_id long, text string")
+    out = sorted((r.doc_id, r.span_start, r.span_end) for r in
+                 dedup.duplicate_spans(df, k=5).collect())
+    # docs 1/2 share exactly one 5-gram "a b c d e" at pos 0 → span 0..4
+    # doc 4: 5-grams at 0..5 all identical → one merged span 0..9
+    assert out == [(1, 0, 4), (2, 0, 4), (4, 0, 9)]
+    # two disjoint shared blocks in one doc stay two spans
+    e = "a b c d e k k k a b c d e"    # shared 5-gram at 0 and at 8
+    df2 = spark.createDataFrame(
+        [(1, a), (2, b), (5, e)], "doc_id long, text string")
+    got = sorted((r.span_start, r.span_end) for r in
+                 dedup.duplicate_spans(df2, k=5)
+                 .filter("doc_id = 5").collect())
+    assert got == [(0, 4), (8, 12)]

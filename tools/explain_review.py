@@ -331,6 +331,24 @@ def main():
             "EvalPython" not in p,
     })
 
+    # 17. duplicate spans: k-gram explode is a Generate (flatMap), the
+    # corpus count partial-aggregates map-side, the island window
+    # partitions by doc (sort bounded by doc length, not corpus size)
+    dsp = e.queries()["duplicate_spans"](spark, SF)
+    p = plan_of(dsp)
+    ok &= section("duplicate spans (k-gram marking + per-doc islands)",
+                  dsp, {
+        "k-gram explode is a Generate node":
+            "Generate" in p and "posexplode" in p,
+        "corpus-frequency count partial-aggregates before its exchange":
+            "partial_count" in p,
+        "island window partitions by doc_id (bounded per-doc sort)":
+            re.search(r"Arguments: \[.*\], \[doc_id#\d+L?\], \[pos#", p)
+            is not None,
+        "no Python evaluation in the plan":
+            "EvalPython" not in p,
+    })
+
     spark.stop()
     print(f"\n**overall: {'PASS' if ok else 'FAIL'}**")
     sys.exit(0 if ok else 1)
