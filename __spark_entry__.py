@@ -930,6 +930,21 @@ def q_duplicate_spans(spark, sf):
     return dedup.duplicate_spans(docs, k=8)
 
 
+def q_dedup_against_store(spark, sf):
+    """Incremental crawl-over-crawl dedup (dedup.dedup_against_store):
+    an encoded fingerprint ledger (md5(text) of every doc_id%5==0 doc)
+    is decoded as a ONE-COLUMN pruned read and anti-joined against the
+    next dump.  Oracle: plain anti-join vs the same deterministic
+    subset."""
+    docs = _t(spark, sf, "documents")
+    ledger = docs.filter(F.col("doc_id") % 5 == 0).select(
+        F.md5(F.col("text")).alias("fp"))
+    out = tempfile.mkdtemp(prefix="dumpster_q_fpstore_")
+    encode_table(ledger, out, mode="local", chunk_rows=4096,
+                 table_id="fp_ledger")
+    return dedup.dedup_against_store(spark, docs, out)
+
+
 def q_pack_sequences(spark, sf):
     """Concat-and-chunk sequence packing (textops.pack_sequences):
     distributed two-phase prefix sum ≡ the oracle's single global
@@ -1034,6 +1049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_words": q_top_words,
         "pack_sequences": q_pack_sequences,
         "duplicate_spans": q_duplicate_spans,
+        "dedup_against_store": q_dedup_against_store,
         "normalize_text": q_normalize_text,
         "catalog_restore": q_catalog_restore,
         "schema_evolution_store": q_schema_evolution_store,
@@ -1367,6 +1383,11 @@ def oracle_sql() -> dict[str, str]:
         "top_words": textops.top_k_words_sql("documents", k=50),
         "pack_sequences": textops.pack_sequences_sql(
             "(SELECT doc_id, n_chars AS n_tokens FROM documents)", 4096),
+        "dedup_against_store": """
+            SELECT * FROM documents
+            WHERE md5(text) NOT IN (
+                SELECT md5(text) FROM documents WHERE doc_id % 5 = 0)
+        """,
         "duplicate_spans": dedup.duplicate_spans_sql(
             "(SELECT doc_id, trim(repeat('g' || CAST(doc_id % 40 AS "
             "VARCHAR) || ' ', 10)) || ' ' || text AS text FROM documents)",

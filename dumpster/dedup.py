@@ -465,6 +465,30 @@ def dedup_url_keep_latest(df: DataFrame, url_col: str = "url",
             .select("__r.*"))
 
 
+def dedup_against_store(spark, df: DataFrame, store_dir: str,
+                        text_col: str = "text",
+                        fp_col: str = "fp") -> DataFrame:
+    """Incremental crawl-over-crawl dedup: drop every document whose
+    md5(text) fingerprint already exists in a previously ENCODED
+    dumpster store (the fingerprint ledger a multi-snapshot pipeline
+    keeps between dumps).  Rows and columns of ``df`` pass through.
+
+    This is the integration op the engine's pruned reads exist for: the
+    ledger decode is a ONE-COLUMN ranged read (`decode_table(columns=
+    [fp_col])` — other columns' bytes are never touched, ~0.04 % of
+    chunk bytes in `pruned_scan_io`), followed by a hash anti-join on
+    the 32-hex fingerprint.  At 10^12 docs the ledger side is
+    fingerprints only — no text bytes move; AQE broadcasts it when a
+    dump's ledger is small.
+    """
+    from .engine import decode_table
+    seen = (decode_table(spark, store_dir, columns=[fp_col])
+            .select(F.col(fp_col).alias("__seen_fp")).distinct())
+    return (df.join(seen,
+                    F.md5(F.col(text_col)) == F.col("__seen_fp"),
+                    "left_anti"))
+
+
 def near_dup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     """Connected components over near-dup pair edges — the clustering step
     of a fuzzy-dedup pipeline (pairs from minhash_lsh_pairs /

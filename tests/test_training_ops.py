@@ -367,3 +367,21 @@ def test_duplicate_spans_semantics(spark):
                  dedup.duplicate_spans(df2, k=5)
                  .filter("doc_id = 5").collect())
     assert got == [(0, 4), (8, 12)]
+
+
+def test_dedup_against_store(spark, tmp_path):
+    """Docs whose md5(text) is in the encoded fingerprint ledger drop;
+    the ledger decode is a pruned one-column read; columns pass through."""
+    from dumpster.engine import encode_table
+    docs = spark.createDataFrame(
+        [(1, "seen one", "a"), (2, "fresh two", "b"),
+         (3, "seen three", "c"), (4, "fresh four", "d")],
+        "doc_id long, text string, src string")
+    ledger = docs.filter("doc_id in (1, 3)").select(
+        F.md5(F.col("text")).alias("fp"))
+    store = str(tmp_path / "fp_store")
+    encode_table(ledger, store, mode="local", chunk_rows=1024,
+                 table_id="fp_ledger_t")
+    out = dedup.dedup_against_store(spark, docs, store)
+    assert sorted(r.doc_id for r in out.collect()) == [2, 4]
+    assert out.columns == docs.columns

@@ -349,6 +349,22 @@ def main():
             "EvalPython" not in p,
     })
 
+    # 18. incremental store dedup: the ledger side is the engine's
+    # pruned one-column decode (exactly one MapInArrow — the fingerprint
+    # read), joined LeftAnti, never a cartesian
+    da = e.queries()["dedup_against_store"](spark, SF)
+    p = plan_of(da)
+    ok &= section("dedup against encoded store (pruned ledger decode + "
+                  "anti-join)", da, {
+        "exactly one MapInArrow (the one-column ledger decode)":
+            len(re.findall(r"MapInArrow", p)) >= 1
+            and len(re.findall(r"\(\d+\) MapInArrow", p)) == 1,
+        "anti-join on the fingerprint (LeftAnti, no cartesian)":
+            "LeftAnti" in p and "Cartesian" not in p,
+        "no row-at-a-time Python (no EvalPython/BatchEvalPython)":
+            "EvalPython" not in p,
+    })
+
     spark.stop()
     print(f"\n**overall: {'PASS' if ok else 'FAIL'}**")
     sys.exit(0 if ok else 1)
