@@ -362,6 +362,61 @@ def stateful_offset_dedup(stream_df: DataFrame,
         outputMode="append", timeoutConf=GroupStateTimeout.NoTimeout))
 
 
+def stateful_sessionize(stream_df: DataFrame, user_col: str = "user_id",
+                        ts_col: str = "ts", gap_seconds: int = 1800,
+                        state_ttl_batches: int | None = None):
+    """Streaming form of :func:`dumpster.pipeline.sessionize`: gap-based
+    session ids assigned across micro-batches with managed state.
+
+    Grouped by user, the state carries ``(last event µs, session count
+    so far)``; each micro-batch's rows are sorted by (ts, row order)
+    inside the group — `applyInPandasWithState` does NOT guarantee
+    intra-group delivery order (the stateful_offset_dedup lesson) — and
+    chained against the checkpointed last timestamp, so a session that
+    spans micro-batches keeps its number and the numbering matches the
+    batch operator run over the same prefix IN ORDER.  Emits
+    ``(user, ts µs, session_id)`` rows, append mode.
+
+    Late rows older than the state's last timestamp cannot retroactively
+    split an already-numbered session; they are CONSERVATIVELY attached
+    to the current session (documented divergence from the batch op,
+    which sees all data; pair with a watermark upstream to bound it).
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{user_col} long, ts_us long, session_id string"
+    gap_us = int(gap_seconds) * 1_000_000
+
+    def assign(key, pdfs, state: GroupState):
+        import numpy as np
+        last_us, n_sess = state.get if state.exists else (-1, 0)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            state.update((last_us, n_sess))
+            return
+        rows = pd.concat(chunks).sort_values(["__us"], kind="stable")
+        us = rows["__us"].to_numpy(dtype="int64")
+        prev = np.concatenate(([last_us], us[:-1]))
+        new = us - prev > gap_us
+        if last_us < 0:
+            new[0] = True                 # first event ever → session 1
+        sess = n_sess + np.cumsum(new)
+        state.update((max(int(us[-1]), int(last_us)), int(sess[-1])))
+        yield pd.DataFrame({user_col: rows[user_col].to_numpy(),
+                            "ts_us": us,
+                            "session_id": [f"{key[0]}-{s}" for s in sess]})
+
+    prepped = stream_df.select(
+        F.col(user_col),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__us"))
+    return prepped.groupBy(user_col).applyInPandasWithState(
+        assign, outputStructType=out_schema,
+        stateStructType="last_us long, n_sess long",
+        outputMode="append", timeoutConf=GroupStateTimeout.NoTimeout)
+
+
 def hourly_windowed_counts(stream_df: DataFrame, ts_col: str = "warc_ts",
                            watermark: str = "2 hours") -> DataFrame:
     """G1+G4 as Structured Streaming: event-time hourly windows closed by a
