@@ -1384,9 +1384,10 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": textops.pack_sequences_sql(
             "(SELECT doc_id, n_chars AS n_tokens FROM documents)", 4096),
         "dedup_against_store": """
-            SELECT * FROM documents
-            WHERE md5(text) NOT IN (
-                SELECT md5(text) FROM documents WHERE doc_id % 5 = 0)
+            SELECT * FROM documents d
+            WHERE NOT EXISTS (
+                SELECT 1 FROM documents s
+                WHERE s.doc_id % 5 = 0 AND md5(s.text) = md5(d.text))
         """,
         "duplicate_spans": dedup.duplicate_spans_sql(
             "(SELECT doc_id, trim(repeat('g' || CAST(doc_id % 40 AS "

@@ -480,9 +480,17 @@ def dedup_against_store(spark, df: DataFrame, store_dir: str,
     the 32-hex fingerprint.  At 10^12 docs the ledger side is
     fingerprints only — no text bytes move; AQE broadcasts it when a
     dump's ledger is small.
+
+    NULL semantics (pinned, ADVICE r4): a row with NULL ``text_col``
+    has no fingerprint, so it can never match the ledger and ALWAYS
+    survives; NULL ledger fingerprints match nothing and are dropped
+    up front.  This is the NOT EXISTS formulation — the oracle must use
+    NOT EXISTS (not NOT IN, whose NULL propagation silently deletes
+    every NULL-text row).
     """
     from .engine import decode_table
     seen = (decode_table(spark, store_dir, columns=[fp_col])
+            .filter(F.col(fp_col).isNotNull())
             .select(F.col(fp_col).alias("__seen_fp")).distinct())
     return (df.join(seen,
                     F.md5(F.col(text_col)) == F.col("__seen_fp"),

@@ -385,8 +385,15 @@ def stateful_sessionize(stream_df: DataFrame, user_col: str = "user_id",
     import pandas as pd
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
 
-    out_schema = f"{user_col} long, ts_us long, session_id string"
+    # the user column keeps its REAL type (a string/int32 user id used to
+    # fail at runtime against a hardcoded `long` — ADVICE r4); the batch
+    # counterpart pipeline.sessionize has always been type-agnostic
+    out_schema = StructType([
+        StructField(user_col, stream_df.schema[user_col].dataType),
+        StructField("ts_us", LongType()),
+        StructField("session_id", StringType())])
     gap_us = int(gap_seconds) * 1_000_000
 
     def assign(key, pdfs, state: GroupState):

@@ -530,14 +530,18 @@ def select_token_budget(df: DataFrame, strata_col: str, budgets: dict,
                       & (budget > 0))
             .withColumn("__qb", qb))
 
+    # take(max+1), never collect(): the guard must bound driver memory
+    # BEFORE the rows land on the driver — with near-unique quality
+    # values the histogram is one group per row, and a full collect
+    # would OOM before the loud error fired (ADVICE r4)
     hist = (base.groupBy(strata_col, "__qb")
             .agg(F.sum(token_col).alias("__tok"))
-            .collect())
+            .take(max_hist_groups + 1))
     if len(hist) > max_hist_groups:
         raise RuntimeError(
-            f"select_token_budget: quality histogram has {len(hist)} "
-            f"(stratum, bucket) groups > max_hist_groups="
-            f"{max_hist_groups}; lower `resolution` (quality values may "
+            f"select_token_budget: quality histogram exceeds "
+            f"max_hist_groups={max_hist_groups} (stratum, bucket) "
+            f"groups; lower `resolution` (quality values may "
             f"be near-unique at this resolution)")
 
     budget_of = {k: int(v) for k, v in budgets.items()}
@@ -558,8 +562,15 @@ def select_token_budget(df: DataFrame, strata_col: str, budgets: dict,
         bounds.append((s, thr, above, b))
 
     spark = df.sparkSession
-    bdf = F.broadcast(spark.createDataFrame(
-        bounds, f"`{strata_col}` string, __thr long, __above long, __b long"))
+    # bounds schema carries the stratum column's REAL type (int strata
+    # used to break on a hardcoded `string` — ADVICE r4)
+    from pyspark.sql.types import LongType, StructField, StructType
+    bschema = StructType([
+        StructField(strata_col, df.schema[strata_col].dataType),
+        StructField("__thr", LongType()),
+        StructField("__above", LongType()),
+        StructField("__b", LongType())])
+    bdf = F.broadcast(spark.createDataFrame(bounds, bschema))
     probed = base.join(bdf, strata_col, "inner")
     kept_full = probed.filter(F.col("__thr").isNull()
                               | (F.col("__qb") > F.col("__thr")))
@@ -615,13 +626,48 @@ def pack_sequences(df: DataFrame, seq_len: int,
     stage ever sees more than one partition's rows in one sort, and the
     only driver-sized object is the P-row totals table.  Sequence
     indices use integer DIV (no double rounding at 2^53+ token streams).
+
+    The range id ``__pid`` is a PURE FUNCTION of the row's ``id_col``:
+    cut points are computed once on the driver from a deterministic
+    md5-keyed sample (bounded at ~128·P ids) and baked into the plan as
+    literals.  Both the window branch and the totals branch therefore
+    agree on every row's partition BY CONSTRUCTION — correctness does
+    not depend on Spark reusing one Exchange, on
+    ``spark.sql.exchange.reuse``, or on two subplans drawing identical
+    ``repartitionByRange`` sample boundaries (ADVICE r4: the previous
+    ``spark_partition_id()`` formulation silently corrupted
+    ``tok_offset`` if the branches were ever planned independently).
+    Costs one extra count + one bounded sample collect up front.
     """
     from pyspark.sql import Window
     P = num_partitions or max(
         df.sparkSession.sparkContext.defaultParallelism * 2, 2)
-    base = (df.filter(F.col(token_col).isNotNull())
-            .repartitionByRange(P, F.col(id_col))
-            .withColumn("__pid", F.spark_partition_id()))
+    base0 = df.filter(F.col(token_col).isNotNull())
+
+    n = base0.count()
+    sample_target = max(P * 128, 1024)
+    if n > sample_target:
+        m = max(1, n // sample_target)
+        skey = F.conv(F.substring(F.md5(F.col(id_col).cast("string")),
+                                  1, 15), 16, 10).cast("long")
+        ids = [r[0] for r in
+               base0.select(id_col).filter(skey % m == 0).collect()]
+    else:
+        ids = [r[0] for r in base0.select(id_col).collect()]
+    ids = sorted(x for x in ids if x is not None)
+    cuts: list = []
+    if ids:
+        for i in range(1, P):
+            c = ids[min(len(ids) - 1, (i * len(ids)) // P)]
+            if not cuts or c > cuts[-1]:
+                cuts.append(c)
+    if cuts:
+        arr = F.array(*[F.lit(c) for c in cuts])
+        pid = F.size(F.filter(arr, lambda b: b <= F.col(id_col)))
+    else:
+        pid = F.lit(0)
+    base = (base0.withColumn("__pid", pid.cast("int"))
+            .repartition(len(cuts) + 1, F.col("__pid")))
     wp = (Window.partitionBy("__pid").orderBy(id_col)
           .rowsBetween(Window.unboundedPreceding, 0))
     within = base.withColumn("__cum", F.sum(token_col).over(wp))
