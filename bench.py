@@ -285,11 +285,14 @@ def main():
     # best-of-2, same treatment as the headline encode/decode trials: a
     # single cold run mixes codegen compilation + host-noise into the
     # recorded number (bench/BENCH.md "host noise")
+    # constituent q_* functions are called directly (not via queries()):
+    # the round-5 consolidation merged several under combined keys, but
+    # the bench series must stay name-comparable across rounds
     for name in [] if skip_queries else [
                  "ann_topk_cosine", "minhash_lsh_pairs", "lang_id",
                  "quality_scores", "hour_partition_events",
                  "dedup_replays_events"]:
-        fn = entry.queries()[name]
+        fn = getattr(entry, f"q_{name}")
         best = None
         for _ in range(2):
             t0 = time.perf_counter()

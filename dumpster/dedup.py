@@ -434,6 +434,72 @@ def duplicate_spans_sql(src: str, k: int = 8, text_expr: str = "text",
     """
 
 
+def remove_duplicate_spans(df: DataFrame, spans: DataFrame,
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """ExactSubstr duplicated-span REMOVAL — the second half of the Lee
+    et al. 2022 pipeline that :func:`duplicate_spans` starts: cut the
+    given ``(doc_id, span_start, span_end)`` token ranges (0-based,
+    inclusive) out of each document's whitespace token stream and
+    reassemble the survivors in order, single-space joined.  Documents
+    with no spans pass through byte-identical; a fully-covered document
+    keeps its row with ``text = ''`` (drop it downstream with a quality
+    filter if desired).  Overlapping or touching spans are tolerated —
+    a token is deleted iff ANY span covers it.
+
+    Reassembly is exact on single-space-separated text (what
+    ``duplicate_spans`` tokenizes and what ``normalize_text`` produces);
+    multi-space runs inside a SPANNED document collapse to one space.
+
+    Spark shape: spans fold to one array per document (bounded by
+    doc_len/k structs — ONE map-side-combinable groupBy on doc_id), one
+    hash equijoin back to the docs (AQE broadcasts a small span set),
+    then a map-only higher-order-function filter: token i survives iff
+    no span covers i.  No UDF, no window, per-doc cost
+    O(tokens × spans_per_doc).
+    """
+    sp = (spans.groupBy(F.col("doc_id").alias("__sid"))
+          .agg(F.collect_list(F.struct(
+              F.col("span_start").cast("long").alias("s"),
+              F.col("span_end").cast("long").alias("e"))).alias("__spans")))
+    joined = df.join(sp, F.col(id_col) == F.col("__sid"), "left")
+    toks = F.split(F.col(text_col), " ")
+    spans_col = F.col("__spans")
+    kept = F.filter(toks, lambda t, i: ~F.exists(
+        spans_col, lambda s: (s["s"] <= i) & (i <= s["e"])))
+    new_text = (F.when(spans_col.isNull(), F.col(text_col))
+                .otherwise(F.array_join(kept, " ")))
+    out_cols = [new_text.alias(text_col) if c == text_col else F.col(c)
+                for c in df.columns]
+    return joined.select(*out_cols)
+
+
+def duplicate_span_removal_sql(src: str, k: int = 8,
+                               text_expr: str = "text",
+                               id_expr: str = "doc_id") -> str:
+    """DuckDB oracle for ``remove_duplicate_spans(df,
+    duplicate_spans(df, k))`` — detection and removal composed over one
+    source, the end-to-end ExactSubstr pass."""
+    spans = duplicate_spans_sql(src, k, text_expr, id_expr)
+    return f"""
+        WITH spans AS ({spans}),
+        t AS (SELECT {id_expr} AS doc_id, {text_expr} AS text,
+                     string_split({text_expr}, ' ') AS toks FROM {src}),
+        tk AS (SELECT doc_id, i - 1 AS pos, toks[i] AS w
+               FROM t, unnest(generate_series(1, len(toks))) AS u(i)),
+        kept AS (SELECT tk.doc_id, tk.pos, tk.w FROM tk
+                 WHERE NOT EXISTS (SELECT 1 FROM spans s
+                       WHERE s.doc_id = tk.doc_id
+                         AND tk.pos BETWEEN s.span_start AND s.span_end)),
+        re AS (SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS text
+               FROM kept GROUP BY doc_id)
+        SELECT t.doc_id,
+               CASE WHEN t.doc_id IN (SELECT DISTINCT doc_id FROM spans)
+                    THEN coalesce(re.text, '') ELSE t.text END AS text
+        FROM t LEFT JOIN re ON t.doc_id = re.doc_id
+    """
+
+
 def dedup_url_keep_latest(df: DataFrame, url_col: str = "url",
                           ts_col: str = "warc_ts",
                           id_col: str = "doc_id") -> DataFrame:

@@ -33,9 +33,10 @@ def duck():
     return con
 
 
-SAMPLE = ["dict_codes_lang", "hour_partition_events", "dedup_replays_events",
-          "salted_bucket_portable", "exact_dup_groups", "lang_id",
-          "token_counts_by_lang", "ann_topk_cosine", "multimodal_meta"]
+SAMPLE = ["lang_dict_rle", "hour_partition_events", "dedup_replays_events",
+          "dup_groups_exact_simhash", "lang_quality_signals",
+          "token_counts_by_lang", "topk_brute_vs_ivf",
+          "multimodal_meta_salted", "duplicate_span_removal"]
 
 
 @pytest.mark.parametrize("name", SAMPLE)

@@ -159,7 +159,7 @@ def main():
 
     # 4. ANN brute force: no shuffle on the big side before top-k
     import __spark_entry__ as e
-    ann = e.queries()["ann_topk_cosine"](spark, SF)
+    ann = e.q_ann_topk_cosine(spark, SF)
     p = plan_of(ann)
     ok &= section("ANN top-k (broadcast queries, shuffle only for top-k)", ann, {
         "big side reaches the scorer without a join shuffle "
@@ -168,7 +168,7 @@ def main():
     })
 
     # 5. exact-dedup aggregate: partial aggregation map-side
-    dd = e.queries()["exact_dup_groups"](spark, SF)
+    dd = e.q_exact_dup_groups(spark, SF)
     p = plan_of(dd)
     ok &= section("exact dedup (hash-groupBy with map-side partial agg)", dd, {
         # substring checks, not .index(): a missing node must print FAIL,
@@ -180,7 +180,7 @@ def main():
 
     # 6. repetition signals: n-gram legs stay in codegen, top-word leg
     # partial-aggregates map-side; no Python anywhere
-    rs = e.queries()["repetition_signals"](spark, SF)
+    rs = e.q_repetition_signals(spark, SF)
     p = plan_of(rs)
     ok &= section("repetition signals (codegen n-grams + map-side agg)", rs, {
         "no Python evaluation in the plan":
@@ -239,7 +239,7 @@ def main():
 
     # 10. contamination overlap: benchmark side broadcast, one data
     # shuffle (the per-doc groupBy)
-    co = e.queries()["contamination_overlap"](spark, SF)
+    co = e.q_contamination_overlap(spark, SF)
     p = plan_of(co)
     ok &= section("contamination overlap (broadcast eval-set probe)", co, {
         "benchmark n-gram set joins by BroadcastHashJoin":
@@ -323,8 +323,13 @@ def main():
     p = plan_of(ps)
     ok &= section("pack_sequences (distributed prefix sum, no global "
                   "data window)", ps, {
-        "explicit range partitioning present (ordered pid ranges)":
-            "rangepartitioning" in p.lower(),
+        # r5: __pid is a pure function of id (driver-computed literal cut
+        # points), hash-repartitioned — NOT repartitionByRange, whose
+        # sampled boundaries made correctness depend on exchange reuse
+        "pid ranges are literal-bound (hash partition on __pid, no "
+        "sampled rangepartitioning)":
+            "rangepartitioning" not in p.lower()
+            and "hashpartitioning(__pid" in p,
         "partition prefix rejoins via BroadcastHashJoin":
             "BroadcastHashJoin" in p,
         "no Python evaluation in the plan":
