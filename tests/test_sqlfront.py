@@ -135,3 +135,55 @@ def test_unregistered_views_passthrough(spark, docs_view):
     df.createOrReplaceTempView("plain_v")
     q = "SELECT count(*) AS n FROM plain_v"
     assert sqlfront.sql(spark, q).collect()[0]["n"] == 10
+
+
+def test_concurrent_sql_and_register_exact(spark, docs_view, tmp_path):
+    """Concurrency rail (VERDICT r4 #7): two threads hammering
+    sqlfront.sql on the same view, interleaved with re-registrations of
+    that view, must all return exact results — no thread may analyze
+    against another thread's narrow swap, and the restore must never
+    clobber a fresh registration."""
+    import threading
+
+    q1 = ("SELECT lang, count(*) AS n, sum(n_chars) AS chars "
+          "FROM sf_docs GROUP BY lang ORDER BY lang")
+    q2 = ("SELECT doc_id, n_chars FROM sf_docs "
+          "WHERE doc_id BETWEEN 50 AND 99 ORDER BY doc_id")
+    want1 = _rows(spark.sql(q1))
+    want2 = _rows(spark.sql(q2))
+
+    errors: list = []
+    barrier = threading.Barrier(3)
+
+    def run_query(q, want):
+        try:
+            barrier.wait(timeout=60)
+            for _ in range(8):
+                got = _rows(sqlfront.sql(spark, q))
+                if got != want:
+                    errors.append(("mismatch", q, got[:3]))
+                    return
+        except Exception as exc:           # noqa: BLE001
+            errors.append(("raised", q, repr(exc)))
+
+    def re_register():
+        try:
+            barrier.wait(timeout=60)
+            for _ in range(8):
+                register_decoded_view(spark, docs_view, "sf_docs",
+                                      pushdown=True)
+        except Exception as exc:           # noqa: BLE001
+            errors.append(("raised", "register", repr(exc)))
+
+    threads = [threading.Thread(target=run_query, args=(q1, want1)),
+               threading.Thread(target=run_query, args=(q2, want2)),
+               threading.Thread(target=re_register)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors, errors
+    # the registration standing at the end is full-width and exact
+    assert set(spark.table("sf_docs").columns) == {
+        "doc_id", "text", "lang", "source", "n_chars"}
+    assert _rows(sqlfront.sql(spark, q1)) == want1
