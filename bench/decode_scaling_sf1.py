@@ -121,13 +121,26 @@ def main() -> None:
          + F.octet_length("lang")
          + F.coalesce(F.octet_length("html"), F.lit(0))
          + F.lit(8)).alias("b")).agg(F.sum("b")).collect()[0][0])
-    if not os.path.exists(os.path.join(store, "manifest")):
+    # skip the (expensive) encode only when the cached store is COMPLETE
+    # for this run's row count — a manifest dir alone also exists for a
+    # store whose encode was interrupted, or one built for a different
+    # `rows` argument, and benchmarking either silently corrupts the
+    # recorded throughput/efficiency numbers
+    def _store_rows() -> int:
+        try:
+            return int(encode_summary(read_manifest(spark, store))["rows"])
+        except Exception:
+            return -1
+
+    if _store_rows() != rows:
+        shutil.rmtree(store, ignore_errors=True)
         t0 = time.perf_counter()
         encode_table(pages, store, url_col="url", n_buckets=N_BUCKETS,
                      salt_k=4, chunk_rows=CHUNK_ROWS, table_id="dec_sf1",
                      num_partitions=N_BUCKETS)
         print(f"encoded sf1 store in {time.perf_counter() - t0:.1f}s",
               file=sys.stderr)
+        assert _store_rows() == rows, "encode produced a partial store"
     encoded_bytes = int(encode_summary(read_manifest(spark, store))
                         ["encoded_bytes"])
     spark.stop()

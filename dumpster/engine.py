@@ -95,8 +95,8 @@ def _rebuild_df(df: DataFrame, logical: StructType) -> DataFrame:
 
 from . import fs as fslib
 from .chunk import decode_chunk_file, encode_chunk_pieces
-from .pipeline import (host_of, prep_for_encode, prep_for_encode_local,
-                       salted_bucket_of_host)
+from .pipeline import (default_encode_partitions, prep_for_encode,
+                       prep_for_encode_local, salted_layout_cols)
 
 DEFAULT_CHUNK_ROWS = 65536
 
@@ -394,7 +394,14 @@ def _make_unpacker(encoder, merge_keys: tuple[str, ...],
                       for b in blobs]
             tbl = pa.concat_tables(tables)
             if merge_keys:
-                tbl = tbl.sort_by([(k, "ascending") for k in merge_keys])
+                # null_placement='at_start' — Spark's ascending sort is
+                # NULLS FIRST, Arrow's default is at_end; without this a
+                # NULL host/order key lands at the opposite end of the
+                # bucket and the layout diverges from mode='salted'
+                idx = pa.compute.sort_indices(
+                    tbl, sort_keys=[(k, "ascending") for k in merge_keys],
+                    null_placement="at_start")
+                tbl = tbl.take(idx)
             dropped = [c for c in drop_cols if c in tbl.column_names]
             if dropped:
                 tbl = tbl.drop_columns(dropped)
@@ -523,13 +530,12 @@ def encode_table(df: DataFrame, out_dir: str, *, url_col: str | None = None,
                 "column already IS the bucket; use the default mode)")
         out = df
         if url_col is not None:
-            u = F.col(url_col)
-            out = out.withColumn("__host", host_of(u))
-            out = out.withColumn("__bucket", salted_bucket_of_host(
-                F.col("__host"), u, n_buckets, salt_k))
-            merge_keys = (tuple(order_cols) if not locality_sort else
-                          ("__host", *order_cols) if host_major else
-                          (*order_cols, "__host"))
+            # the ONE shared salted-layout derivation (pipeline) — the
+            # byte-parity contract with mode='salted' depends on both
+            # paths deriving __host/__bucket/sort keys identically
+            out, mk = salted_layout_cols(df, url_col, n_buckets, salt_k,
+                                         order_cols, host_major)
+            merge_keys = mk if locality_sort else tuple(order_cols)
         else:
             be = bucket_expr if bucket_expr is not None else \
                 F.pmod(F.xxhash64(*df.columns), F.lit(n_buckets)).cast("int")
@@ -541,9 +547,8 @@ def encode_table(df: DataFrame, out_dir: str, *, url_col: str | None = None,
         # split-local sort only — bucket runs must be contiguous for the
         # packer; merge keys ride along so blobs arrive pre-sorted
         out = out.sortWithinPartitions("__bucket", *merge_keys)
-        if num_partitions is None:
-            par = spark.sparkContext.defaultParallelism
-            num_partitions = max(1, min(n_buckets, 2 * par))
+        num_partitions = default_encode_partitions(df, n_buckets,
+                                                   num_partitions)
         packed = out.mapInArrow(_make_packer(), schema=_PACK_DDL)
         shuffled = (packed.repartition(num_partitions, "__bucket")
                     .sortWithinPartitions("__bucket"))

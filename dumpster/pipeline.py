@@ -250,20 +250,46 @@ def prep_for_encode(df: DataFrame, url_col: str, n_buckets: int,
     than 128 single-bucket tasks (fewer task/worker round trips), and on
     a real cluster 2-3× total cores is the standard sizing.
     """
-    u = F.col(url_col)
-    out = df.withColumn("__host", host_of(u))
-    out = out.withColumn("__bucket", salted_bucket_of_host(
-        F.col("__host"), u, n_buckets, salt_k))
-    if num_partitions is None:
-        par = df.sparkSession.sparkContext.defaultParallelism
-        num_partitions = max(1, min(n_buckets, 2 * par))
+    out, merge_keys = salted_layout_cols(df, url_col, n_buckets, salt_k,
+                                         order_cols, host_major)
+    num_partitions = default_encode_partitions(df, n_buckets, num_partitions)
     out = out.repartition(num_partitions, "__bucket")
     if locality_sort:
         # host-major: host-vocabulary runs maximise RLE/FSST/dict ratio;
         # order-major (host_major=False with order_cols=(ts,)): tight
         # per-chunk zone maps for predicate-pruned decode — a layout
         # tradeoff knob, like choosing a sort key at table-write time
-        sort_cols = (["__bucket", "__host", *order_cols] if host_major
-                     else ["__bucket", *order_cols, "__host"])
-        out = out.sortWithinPartitions(*sort_cols)
+        out = out.sortWithinPartitions("__bucket", *merge_keys)
     return out.drop("__host")
+
+
+def salted_layout_cols(df: DataFrame, url_col: str, n_buckets: int,
+                       salt_k: int = 4, order_cols: tuple[str, ...] = (),
+                       host_major: bool = True):
+    """The ONE definition of the salted layout, shared by
+    :func:`prep_for_encode` (full-row shuffle) and engine's
+    ``mode="salted_pre"`` (blob shuffle): ``__host``, the salted
+    ``__bucket``, and the in-bucket sort-key order.  Their byte-level
+    layout parity is load-bearing (tests/test_salted_pre.py asserts
+    encoded-byte EQUALITY), so the derivation must not be duplicated.
+    Returns ``(df + __host/__bucket, merge_keys)``; ``merge_keys``
+    excludes ``__bucket``.
+    """
+    u = F.col(url_col)
+    out = df.withColumn("__host", host_of(u))
+    out = out.withColumn("__bucket", salted_bucket_of_host(
+        F.col("__host"), u, n_buckets, salt_k))
+    merge_keys = (("__host", *order_cols) if host_major
+                  else (*order_cols, "__host"))
+    return out, merge_keys
+
+
+def default_encode_partitions(df: DataFrame, n_buckets: int,
+                              num_partitions: int | None = None) -> int:
+    """Shared task-granularity default (prep_for_encode and salted_pre):
+    2× cluster parallelism, capped at n_buckets — buckets stay the
+    salt/skew/resume unit, several per reduce task."""
+    if num_partitions is not None:
+        return num_partitions
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return max(1, min(n_buckets, 2 * par))

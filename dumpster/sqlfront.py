@@ -45,12 +45,27 @@ SAME lock — so two concurrent ``sqlfront.sql`` calls serialize their
 ANALYSIS (execution of the returned DataFrames stays fully parallel:
 the narrow relations are captured in the analyzed plan before the
 lock is released), and a racing re-registration can neither observe a
-narrow view nor be clobbered by the restore.  Plain ``spark.sql``
-calls issued by other threads never see a narrow registration either,
-because every swap window restores before releasing the lock.
+narrow view nor be clobbered by the restore.  The registry snapshot
+the swap/restore works from is taken UNDER the lock, so a restore
+always re-registers the registration that was current when the swap
+began — never an earlier one.
 
-Known limits (documented, conservative): queries that hide a view
-occurrence from the plan walk fall back to full width.
+Known limits (documented, conservative):
+
+* Queries that hide a view occurrence from the plan walk fall back to
+  full width (exactness is never at risk).
+* The lock only protects callers who go through this module.  A BARE
+  ``spark.sql`` on another thread does not acquire it and CAN observe
+  a narrow registration mid-swap (temp views are session-global) —
+  route concurrent access to dumpster views through ``sqlfront.sql``,
+  or capture DataFrames up front.
+* Classic-mode ``spark.sql`` EXECUTES commands (CTAS/INSERT/DDL)
+  eagerly at creation, so a command routed through ``sqlfront.sql``
+  runs to completion while the lock is held.  This is deliberate: the
+  command must see every dumpster view FULL-WIDTH (no concurrent
+  swap), and correctness beats lock latency here — but it means a
+  long CTAS serializes other ``sqlfront.sql`` analyses; keep heavy
+  commands on plain ``spark.sql`` when they touch no dumpster view.
 """
 
 from __future__ import annotations
@@ -192,8 +207,10 @@ def sql(spark: SparkSession, query: str) -> DataFrame:
     views the plan references are scanned through narrow relations so
     only the referenced columns' bytes are read and decoded.
     """
-    views = _registered_views(spark)
-    if not views:
+    if not _REGISTRY:
+        # no dumpster view anywhere — nothing to narrow, skip the lock
+        # (atomic bool read; a registration racing past this check just
+        # orders the same as running before it)
         return spark.sql(query)
     # the WHOLE analyze → swap-narrow → re-analyze → restore window runs
     # under the registry lock: a concurrent sqlfront.sql, a concurrent
@@ -203,6 +220,13 @@ def sql(spark: SparkSession, query: str) -> DataFrame:
     # the returned DataFrame executes after the lock is released,
     # against the narrow relations already captured in its plan.
     with _LOCK:
+        # snapshot UNDER the lock: a registration that landed between an
+        # earlier (unlocked) read and our swap would otherwise be
+        # clobbered by our restore — the swap and the restore must both
+        # work from the registration that is current NOW
+        views = _registered_views(spark)
+        if not views:
+            return spark.sql(query)
         df0 = spark.sql(query)
         try:
             plan = df0._jdf.queryExecution().analyzed()

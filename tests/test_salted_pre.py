@@ -104,3 +104,33 @@ def test_unknown_mode_raises(pages, tmp_path):
     with pytest.raises(ValueError, match="salted_pre"):
         encode_table(pages.withColumn("b", F.lit(1)), str(tmp_path / "y"),
                      bucket_col="b", mode="salted_pre")
+
+
+def test_pre_layout_parity_with_null_keys(spark, pages, tmp_path):
+    """NULL merge keys must land where Spark's sort puts them (NULLS
+    FIRST): Arrow's default sort places nulls at_end, which silently
+    re-ordered NULL-host / NULL-order-key rows to the opposite end of
+    each bucket and broke byte-level layout parity with mode='salted'
+    (round-5 review finding)."""
+    h = F.crc32(F.col("url"))
+    nulled = (pages
+              .withColumn("__h", h)
+              .withColumn("url", F.when(F.col("__h") % 7 == 0,
+                                        F.lit(None)).otherwise(F.col("url")))
+              .withColumn("warc_ts", F.when(F.col("__h") % 11 == 0,
+                                            F.lit(None))
+                          .otherwise(F.col("warc_ts")))
+              .drop("__h"))
+    pre_dir, sal_dir = str(tmp_path / "pre"), str(tmp_path / "sal")
+    man_pre = encode_table(nulled, pre_dir, url_col="url", n_buckets=8,
+                           chunk_rows=512, mode="salted_pre", table_id="t",
+                           order_cols=("warc_ts",))
+    man_sal = encode_table(nulled, sal_dir, url_col="url", n_buckets=8,
+                           chunk_rows=512, mode="salted", table_id="t",
+                           order_cols=("warc_ts",))
+    _assert_same(nulled, decode_table(spark, pre_dir))
+    s_pre, s_sal = encode_summary(man_pre), encode_summary(man_sal)
+    assert s_pre["rows"] == s_sal["rows"] == N_ROWS
+    assert s_pre["buckets"] == s_sal["buckets"]
+    assert s_pre["chunks"] == s_sal["chunks"]
+    assert s_pre["encoded_bytes"] == s_sal["encoded_bytes"]
