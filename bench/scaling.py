@@ -189,10 +189,23 @@ Other local-mode engineering notes (dumpster/session.py):
             tail = cur[cur.index("\n", i) + 1:]
     with open(bench_md, "w") as f:
         f.write(md + tail)
-    with open(os.path.join(REPO, "bench", "scaling_results.json"), "w") as f:
-        json.dump({"levels": list(levels), f"local{n_lo}": r8, f"local{n_hi}": r32,
-                   "encode_scaling_efficiency": round(eff_enc, 4),
-                   "decode_scaling_efficiency": round(eff_dec, 4)}, f, indent=1)
+    # merge, don't overwrite: other runners record their own keys here
+    # (decode_scaling_sf1.py writes "decode_sf1") and a refresh of the
+    # encode pair must not silently drop them
+    res_path = os.path.join(REPO, "bench", "scaling_results.json")
+    data = {}
+    if os.path.exists(res_path):
+        try:
+            with open(res_path) as f:
+                data = json.load(f)
+        except Exception:
+            data = {}
+    data.update({"levels": list(levels), f"local{n_lo}": r8,
+                 f"local{n_hi}": r32,
+                 "encode_scaling_efficiency": round(eff_enc, 4),
+                 "decode_scaling_efficiency": round(eff_dec, 4)})
+    with open(res_path, "w") as f:
+        json.dump(data, f, indent=1)
     print(json.dumps({"encode_scaling_efficiency": round(eff_enc, 4),
                       "decode_scaling_efficiency": round(eff_dec, 4),
                       "size_ratio_vs_reference": r32["size_ratio_vs_reference"]}))
