@@ -13,6 +13,7 @@ oracle_sql()   — DuckDB-runnable ANSI SQL equivalents.  Column names and
 from __future__ import annotations
 
 import os
+import re
 import tempfile
 from collections.abc import Callable
 
@@ -28,6 +29,25 @@ SF_DEFAULT = "/root/testdata/sf0.001"
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# fixture strings spliced verbatim into oracle-paired SQL (point lookup /
+# LIKE prefix) must contain no quote and no LIKE metacharacter ('_'
+# matches any char — a host like src_1 would LIKE-match srcX1 rows on the
+# Spark side while the oracle's equality would not, silently skewing the
+# gate).  The guard makes the dependence on the fixture loud instead of
+# silent (round-5 review finding).
+_SAFE_SQL_LITERAL = re.compile(r"^[A-Za-z0-9:/.\-]+$")
+
+
+def _pin_literal(s: str, what: str) -> str:
+    if not s or not _SAFE_SQL_LITERAL.fullmatch(s):
+        raise ValueError(
+            f"fixture-derived {what} {s!r} is not a plain "
+            f"[A-Za-z0-9:/.-] literal — splicing it into the paired "
+            f"Spark/DuckDB SQL would make the correctness gate depend on "
+            f"quote/LIKE escaping; adjust the query builders first")
+    return s
 
 
 # ---------------------------------------------------------------------------
@@ -305,9 +325,7 @@ def q_catalog_restore(spark, sf):
                  n_buckets=4, chunk_rows=4096, table_id="documents_cat")
     cat = os.path.join(out, "_catalog.json")
     save_catalog(cat, "dumpster_cat_docs", out)
-    spark.catalog.dropTempView("dumpster_cat_docs") \
-        if any(t.name == "dumpster_cat_docs"
-               for t in spark.catalog.listTables()) else None
+    spark.catalog.dropTempView("dumpster_cat_docs")   # no-op when absent
     restore_catalog(spark, cat)
     return spark.sql(
         "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
@@ -626,7 +644,8 @@ def q_str_point_lookup(spark, sf):
                  n_buckets=4, chunk_rows=64, order_cols=("url",),
                  table_id="pages_ptlk")
     register_decoded_view(spark, out, "dumpster_pages_ptlk", pushdown=True)
-    target = pages.filter(F.col("doc_id") == 42).first()["url"]
+    target = _pin_literal(
+        pages.filter(F.col("doc_id") == 42).first()["url"], "lookup url")
     return spark.sql(f"""
         SELECT url, doc_id, lang, n_chars FROM dumpster_pages_ptlk
         WHERE url = '{target}'
@@ -655,7 +674,8 @@ def q_url_prefix_scan(spark, sf):
                  n_buckets=4, chunk_rows=64, order_cols=("url",),
                  table_id="pages_pfx")
     register_decoded_view(spark, out, "dumpster_pages_pfx", pushdown=True)
-    host = docs.orderBy("doc_id").first()["source"]
+    host = _pin_literal(docs.orderBy("doc_id").first()["source"],
+                        "prefix host")
     return spark.sql(f"""
         SELECT url, doc_id, lang, n_chars FROM dumpster_pages_pfx
         WHERE url LIKE 'https://{host}.example/%'
@@ -916,18 +936,34 @@ def q_top_words(spark, sf):
     return textops.top_k_words(_t(spark, sf, "documents"), k=50)
 
 
-def q_duplicate_spans(spark, sf):
-    """ExactSubstr-style duplicated-span detection (dedup.
-    duplicate_spans): a 10-token block shared by every doc_id%40 group
-    is injected ahead of the real text, so every doc carries at least
-    one corpus-duplicated 8-gram region; accidental repeats inside the
-    synthetic text are found identically by both engines."""
+def _span_fixture(spark, sf):
+    """The shared ExactSubstr fixture: a 10-token ``g{doc_id%40}`` block
+    injected ahead of the real text, so every doc carries at least one
+    corpus-duplicated 8-gram region.  ONE definition for both the
+    detection and removal queries; its SQL twin is
+    ``_SPAN_FIXTURE_SQL`` — keep the two in sync (round-5 review
+    finding: four independent copies had to stay bit-identical by
+    inspection)."""
     did = F.col("doc_id")
     g = F.concat(F.lit("g"), (did % 40).cast("string"))
     block = F.concat_ws(" ", *[g] * 10)
-    docs = _t(spark, sf, "documents").select(
+    return _t(spark, sf, "documents").select(
         "doc_id", F.concat(block, F.lit(" "), F.col("text")).alias("text"))
-    return dedup.duplicate_spans(docs, k=8)
+
+
+# DuckDB twin of _span_fixture: trim(repeat(g || ' ', 10)) == the
+# concat_ws 10-token block (trailing separator trimmed)
+_SPAN_FIXTURE_SQL = (
+    "(SELECT doc_id, trim(repeat('g' || CAST(doc_id % 40 AS "
+    "VARCHAR) || ' ', 10)) || ' ' || text AS text FROM documents)")
+
+
+def q_duplicate_spans(spark, sf):
+    """ExactSubstr-style duplicated-span detection (dedup.
+    duplicate_spans) over the shared ``_span_fixture``; accidental
+    repeats inside the synthetic text are found identically by both
+    engines."""
+    return dedup.duplicate_spans(_span_fixture(spark, sf), k=8)
 
 
 def q_dedup_against_store(spark, sf):
@@ -1007,11 +1043,7 @@ def q_duplicate_span_removal(spark, sf):
     q_duplicate_spans detects over the same fixture are cut out of the
     token stream and survivors reassembled in order — the second half of
     the Lee et al. pipeline (round-4 verdict missing #5)."""
-    did = F.col("doc_id")
-    g = F.concat(F.lit("g"), (did % 40).cast("string"))
-    block = F.concat_ws(" ", *[g] * 10)
-    docs = _t(spark, sf, "documents").select(
-        "doc_id", F.concat(block, F.lit(" "), F.col("text")).alias("text"))
+    docs = _span_fixture(spark, sf)
     spans = dedup.duplicate_spans(docs, k=8)
     return dedup.remove_duplicate_spans(docs, spans)
 
@@ -1178,15 +1210,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-_SHINGLE_CTE = """
-toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM {src}),
-sh AS (SELECT doc_id, unnest(list_distinct(list_filter(
-         list_transform(t, (x,i) -> CASE WHEN i <= len(t)-2
-              THEN x || ' ' || t[i+1] || ' ' || t[i+2] END),
-         s -> s IS NOT NULL))) AS shingle
-       FROM toks)
-"""
-
 _AUG_CTE = """
 aug AS (SELECT doc_id, text FROM documents
         UNION ALL
@@ -1207,6 +1230,13 @@ sh AS (SELECT doc_id, unnest(list_distinct(list_filter(
          s -> s IS NOT NULL))) AS shingle
        FROM toks)
 """
+
+
+# the common 3-gram case, kept as a '{src}'-templated string for the four
+# .format(src=...) call sites — derived from _shingle_cte_n so there is
+# exactly ONE definition of the shingle SQL (round-5 review finding: the
+# previous verbatim copy could silently diverge from the generalized one)
+_SHINGLE_CTE = _shingle_cte_n("{src}", 3)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1510,9 +1540,7 @@ def oracle_sql() -> dict[str, str]:
                 WHERE s.doc_id % 5 = 0 AND md5(s.text) = md5(d.text))
         """,
         "duplicate_spans": dedup.duplicate_spans_sql(
-            "(SELECT doc_id, trim(repeat('g' || CAST(doc_id % 40 AS "
-            "VARCHAR) || ' ', 10)) || ' ' || text AS text FROM documents)",
-            k=8),
+            _SPAN_FIXTURE_SQL, k=8),
         "normalize_text": (
             "SELECT doc_id, "
             + textops.normalize_text_sql(
@@ -1762,9 +1790,7 @@ def oracle_sql() -> dict[str, str]:
 
     # round-5 ExactSubstr removal (same fixture as duplicate_spans)
     d["duplicate_span_removal"] = dedup.duplicate_span_removal_sql(
-        "(SELECT doc_id, trim(repeat('g' || CAST(doc_id % 40 AS "
-        "VARCHAR) || ' ', 10)) || ' ' || text AS text FROM documents)",
-        k=8)
+        _SPAN_FIXTURE_SQL, k=8)
 
     # --- round-5 consolidation: compose the merged-entry oracles from
     # their constituents' SQL, then drop the consumed keys so the dicts

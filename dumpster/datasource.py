@@ -468,16 +468,31 @@ class DumpsterWriter(DataSourceArrowWriter):
 
     Options: ``path`` (required), ``bucket_col``, ``chunk_rows``,
     ``chunk_bytes``, ``allow_zlib`` ("false" to disable the byte stage),
-    ``table_id``.  Modes: append | overwrite (overwrite truncates the
-    store's chunks/manifest/schema at writer creation, like Spark's
-    static-overwrite file sinks).  Structs are not flattened on this
-    path — use ``engine.encode_table`` for struct-typed frames.
+    ``table_id``.  Modes: append | overwrite.
+
+    Overwrite truncates INSIDE ``commit()``, not at writer creation
+    (round-5 review finding — truncate-at-planning meant any failed
+    task permanently destroyed the existing table with nothing
+    published, inverting the V2 "nothing visible until commit"
+    guarantee for the pre-existing data): tasks write the new chunks
+    into a disjoint namespace alongside the old store, a failed or
+    aborted overwrite leaves the old table fully intact (the new
+    chunks are manifest-less orphans, swept by ``clean_orphans``), and
+    only a committing job drops the old content — old chunks,
+    manifests, stream ``batch=*`` sub-stores and schema history —
+    immediately before publishing its own manifests.  The remaining
+    non-atomic window is commit itself (a driver crash between
+    truncate and publish leaves an empty store), the same window
+    Spark's own static-overwrite file sinks have, minus their
+    delete-before-any-task-runs exposure.  Two concurrent overwrites:
+    last commit wins (as with Spark file sinks).  Structs are not
+    flattened on this path — use ``engine.encode_table`` for
+    struct-typed frames.
     """
 
     def __init__(self, options: dict, schema: StructType, overwrite: bool):
         _init_writer_common(self, options, schema)
-        if overwrite:
-            _truncate_store(self.out_dir)
+        self.overwrite = overwrite
         os.makedirs(os.path.join(self.out_dir, "chunks"), exist_ok=True)
         os.makedirs(os.path.join(self.out_dir, "manifest"), exist_ok=True)
         # appends land in an atomically reserved bucket-id range, so two
@@ -495,7 +510,8 @@ class DumpsterWriter(DataSourceArrowWriter):
             # then serializes them fail-loud (first commit wins)
             self.chunk_subdir = \
                 f"w{_reserve_bucket_range(self.out_dir):09d}"
-            existing = done_buckets(self.out_dir)
+            existing = done_buckets(self.out_dir) \
+                if not overwrite else set()
             if existing:
                 # a hand-bucketed frame's ids can collide with committed
                 # buckets, and task-side chunk writes would CLOBBER the
@@ -520,9 +536,19 @@ class DumpsterWriter(DataSourceArrowWriter):
     # driver-side commit protocol ------------------------------------------
 
     def commit(self, messages) -> None:
+        if self.overwrite:
+            # all tasks succeeded — NOW drop the old table (see class
+            # docstring), keeping this job's freshly written chunks
+            keep = frozenset(
+                os.path.abspath(r["file"])
+                for m in messages if m is not None for r in m.rows)
+            _truncate_store(self.out_dir, keep_files=keep)
+            os.makedirs(os.path.join(self.out_dir, "manifest"),
+                        exist_ok=True)
         _publish_batch(self.out_dir, messages, self.bucket_col,
                        self.payload_schema,
-                       refuse_existing=self.bucket_col is not None)
+                       refuse_existing=(self.bucket_col is not None
+                                        and not self.overwrite))
 
     def abort(self, messages) -> None:
         _delete_reported_chunks(messages)
@@ -794,6 +820,17 @@ def _reserve_bucket_range(out_dir: str,
                 nxt = int(json.load(f)["next"])
         done = done_buckets(out_dir)
         base = max(nxt, (max(done) + 1) if done else 0)
+        if base + stride > 2**31:
+            # bucket ids are int32 in the chunk container; without this
+            # the overflow would surface as an OverflowError inside a
+            # write task, AFTER earlier partitions' chunks were written
+            # (round-5 review finding) — fail fast at writer init instead
+            raise ValueError(
+                f"bucket-id namespace exhausted for {out_dir!r}: the "
+                f"next reservation would pass int32 "
+                f"(base={base}, stride={stride}). Compact the store "
+                f"(compact_stream / decode+re-encode) to reset bucket "
+                f"ids, or overwrite it.")
         tmp = alloc + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"next": base + stride}, f)
@@ -801,13 +838,41 @@ def _reserve_bucket_range(out_dir: str,
     return base
 
 
-def _truncate_store(out_dir: str) -> None:
-    """Static-overwrite truncation: drop chunks, manifests, schema history
-    and the bucket-range counter so the store is reborn with the incoming
-    frame's schema."""
+def _truncate_store(out_dir: str,
+                    keep_files: frozenset[str] = frozenset()) -> None:
+    """Static-overwrite truncation: drop chunks, manifests, stream
+    ``batch=*`` sub-stores, schema history and the bucket-range counter
+    so the store is reborn with the incoming frame's schema.
+
+    ``keep_files`` (commit-time overwrite): absolute paths of THIS job's
+    freshly written chunk files — everything else under ``chunks/`` is
+    deleted, those survive.  ``batch=*`` dirs are always removed:
+    without it an overwrite of a stream-sink root left the old batches
+    on disk and ``decode_stream_table``/``compact_stream`` (which glob
+    ``batch=*``) resurrected supposedly-overwritten rows (round-5
+    review finding)."""
+    import glob as globlib
     import shutil
-    for sub in ("chunks", "manifest"):
-        shutil.rmtree(os.path.join(out_dir, sub), ignore_errors=True)
+    shutil.rmtree(os.path.join(out_dir, "manifest"), ignore_errors=True)
+    for b in globlib.glob(os.path.join(out_dir, "batch=*")):
+        shutil.rmtree(b, ignore_errors=True)
+    chunks = os.path.join(out_dir, "chunks")
+    if not keep_files:
+        shutil.rmtree(chunks, ignore_errors=True)
+    else:
+        for root, dirs, files in os.walk(chunks, topdown=False):
+            for f in files:
+                p = os.path.join(root, f)
+                if os.path.abspath(p) not in keep_files:
+                    try:
+                        os.remove(p)
+                    except OSError:
+                        pass
+            for d in dirs:
+                try:
+                    os.rmdir(os.path.join(root, d))   # only if emptied
+                except OSError:
+                    pass
     if os.path.isdir(out_dir):
         for f in os.listdir(out_dir):
             if (f.startswith("_schema") and f.endswith(".json")) \

@@ -304,3 +304,80 @@ def test_bucket_col_prep_local_hostsorted_roundtrip(spark, tmp_path):
     # the engine front door reads the same store
     from dumpster.engine import decode_table
     assert decode_table(spark, out).count() == 2500
+
+
+def test_failed_overwrite_preserves_existing_table(spark, tmp_path):
+    """Round-5 review finding: overwrite used to truncate at writer
+    CREATION, so a failed overwrite destroyed the old table with nothing
+    published.  Truncation now happens inside commit() — a failed
+    overwrite must leave the old store byte-for-byte readable."""
+    out = str(tmp_path / "ow1")
+    old = _docs(spark).limit(60)
+    old.write.format("dumpster").mode("append").save(out)
+    before = spark.read.format("dumpster").option("path", out).load() \
+        .collect()
+
+    @F.udf("long")
+    def poison(v):
+        if v is None:
+            raise RuntimeError("poison row")
+        return v
+
+    bad = _docs(spark).withColumn(
+        "n_chars",
+        poison(F.when(F.col("doc_id") % 97 == 3, None)
+               .otherwise(F.col("n_chars"))))
+    with pytest.raises(Exception):
+        bad.write.format("dumpster").mode("overwrite").save(out)
+    after = spark.read.format("dumpster").option("path", out).load() \
+        .collect()
+    assert sorted(map(tuple, after)) == sorted(map(tuple, before))
+    assert len(after) == 60
+    # a successful overwrite still replaces everything, old rows gone
+    new = _docs(spark).limit(10)
+    new.write.format("dumpster").mode("overwrite").save(out)
+    got = spark.read.format("dumpster").option("path", out).load()
+    assert got.count() == 10
+    assert decode_table(spark, out).count() == 10
+
+
+def test_overwrite_clears_stream_batches(spark, tmp_path):
+    """Round-5 review finding: overwrite on a stream-sink root left the
+    old batch=* sub-stores on disk, so decode_stream_table/compact_stream
+    resurrected supposedly-overwritten rows."""
+    import glob
+
+    from dumpster.streaming import decode_stream_table
+
+    out = str(tmp_path / "ow2")
+    # simulate a stream store: two batch=N sub-stores
+    for i in range(2):
+        _docs(spark).limit(20).write.format("dumpster").mode("append") \
+            .save(os.path.join(out, f"batch={i:06d}"))
+    assert decode_stream_table(spark, out).count() == 40
+    _docs(spark).limit(5).write.format("dumpster").mode("overwrite") \
+        .save(out)
+    assert glob.glob(os.path.join(out, "batch=*")) == []
+    # the root is now a plain store: the stream reader refuses loudly
+    # instead of resurrecting overwritten batches
+    with pytest.raises(FileNotFoundError, match="batch"):
+        decode_stream_table(spark, out)
+    assert spark.read.format("dumpster").option("path", out).load() \
+        .count() == 5
+
+
+def test_bucket_reservation_exhaustion_fails_fast(spark, tmp_path):
+    """Round-5 review finding: bucket ids past int32 used to overflow
+    inside a write task (np.int32 full) after chunks were already
+    written; the reservation now refuses up front."""
+    import json as jsonlib
+
+    out = str(tmp_path / "ow3")
+    os.makedirs(out, exist_ok=True)
+    with open(os.path.join(out, "_bucket_alloc.json"), "w") as f:
+        jsonlib.dump({"next": 2**31 - 5}, f)
+    with pytest.raises(Exception, match="int32"):
+        _docs(spark).limit(5).write.format("dumpster").mode("append") \
+            .save(out)
+    # nothing was published by the refused job
+    assert done_buckets(out) == set()
