@@ -493,22 +493,34 @@ def encode_table(df: DataFrame, out_dir: str, *, url_col: str | None = None,
 
     if bucket_col is not None:
         # the column IS the bucket id; it is routing metadata, not payload —
-        # excluded from the stored schema and from every chunk
-        df = df.withColumn("__bucket", F.col(bucket_col).cast("int")) \
-            .drop(bucket_col)
+        # excluded from the stored schema and from every chunk.  When the
+        # caller's column is literally named '__bucket' (the whitelisted
+        # name), withColumn replaces it in place and the drop would
+        # delete it entirely (round-5 review finding) — cast only
+        df = df.withColumn("__bucket", F.col(bucket_col).cast("int"))
+        if bucket_col != "__bucket":
+            df = df.drop(bucket_col)
 
     def _payload(s: StructType) -> StructType:
         return StructType([f for f in s.fields if f.name != "__bucket"])
 
     if _has_structs(df.schema):
         logical_path = os.path.join(out_dir, "_logical_schema.json")
-        if not os.path.exists(logical_path):
-            _fs_write_atomic(logical_path, _payload(df.schema).json().encode())
-        elif StructType.fromJson(
-                json.load(open(logical_path))) != _payload(df.schema):
-            raise ValueError(
-                "schema evolution of struct-typed tables is not supported; "
-                "encode flat columns or use a new out_dir")
+        # check-then-write under the same lock discipline as
+        # _publish_table_schema: two concurrent FIRST encodes of
+        # struct tables with different (add-only-compatible) schemas
+        # otherwise both see no file and last-writer-wins — the loser's
+        # extra struct leaf becomes permanently invisible on decode
+        # (round-5 review finding; same race class as ADVICE r2)
+        with fslib.file_lock(logical_path + ".lock"):
+            if not os.path.exists(logical_path):
+                _fs_write_atomic(logical_path,
+                                 _payload(df.schema).json().encode())
+            elif StructType.fromJson(
+                    json.load(open(logical_path))) != _payload(df.schema):
+                raise ValueError(
+                    "schema evolution of struct-typed tables is not "
+                    "supported; encode flat columns or use a new out_dir")
         df = _flatten_df(df)
         flat = df.columns
         if len(set(flat)) != len(flat):
@@ -1038,6 +1050,12 @@ def clean_orphans(spark: SparkSession, out_dir: str, *,
 
     listing = dirs_df.mapInArrow(
         lister, "path string, rel string, is_tmp boolean, size long")
+    # ONE filesystem sweep, not four-plus: the listing feeds both safety
+    # rails and BOTH branches of the doomed union; without the persist
+    # every action re-ran the scandir job over (at target scale)
+    # millions of files, and the rails were checked against a DIFFERENT
+    # listing than the one deleted (round-5 review finding)
+    listing = listing.persist()
 
     doomed = listing.filter("is_tmp").unionByName(
         listing.filter(~F.col("is_tmp"))
@@ -1047,6 +1065,7 @@ def clean_orphans(spark: SparkSession, out_dir: str, *,
     n_ref = referenced.limit(1).count()
     n_dmc = listing.filter(~F.col("is_tmp")).limit(1).count()
     if n_ref == 0 and n_dmc > 0:
+        listing.unpersist()
         raise ValueError(
             "clean_orphans: the manifest references no files but chunk "
             "files exist — refusing to delete (missing or unreadable "
@@ -1060,6 +1079,7 @@ def clean_orphans(spark: SparkSession, out_dir: str, *,
         matched = (listing.filter(~F.col("is_tmp"))
                    .join(ref_rel, "rel", "left_semi").limit(1).count())
         if matched == 0:
+            listing.unpersist()
             raise ValueError(
                 "clean_orphans: no listed chunk file matches any "
                 "manifest-referenced file — rel-key mismatch or foreign "
@@ -1071,6 +1091,7 @@ def clean_orphans(spark: SparkSession, out_dir: str, *,
             F.sum(F.col("is_tmp").cast("long")).alias("tmp"),
             F.sum((~F.col("is_tmp")).cast("long")).alias("orphans"),
             F.sum("size").alias("bytes")).collect()[0]
+        listing.unpersist()
         return {"tmp": int(agg["tmp"] or 0), "orphans": int(agg["orphans"] or 0),
                 "bytes": int(agg["bytes"] or 0)}
 
@@ -1092,6 +1113,7 @@ def clean_orphans(spark: SparkSession, out_dir: str, *,
            .agg(F.sum(F.col("is_tmp").cast("long")).alias("tmp"),
                 F.sum((~F.col("is_tmp")).cast("long")).alias("orphans"),
                 F.sum("size").alias("bytes")).collect()[0])
+    listing.unpersist()
     return {"tmp": int(agg["tmp"] or 0), "orphans": int(agg["orphans"] or 0),
             "bytes": int(agg["bytes"] or 0)}
 
@@ -1196,6 +1218,14 @@ def decode_tables(spark: SparkSession, dirs: list[str], *,
                     f"schema across dirs; {d} differs from {with_logical[0]}")
 
     visible = logical if logical is not None else full
+    if columns is not None and not columns:
+        # a zero-column projection decodes every chunk to a 0-row batch
+        # (Arrow: no columns ⇒ num_rows 0), so count(*) would silently
+        # return 0 instead of the table's rows (round-5 review finding)
+        raise ValueError(
+            "columns=[] would decode zero rows; pass columns=None for "
+            "the full table, or at least one column (for a pure count, "
+            "any single cheap column works)")
     if columns is not None:
         missing = set(columns) - {f.name for f in visible.fields}
         if missing:
@@ -1228,13 +1258,19 @@ def decode_tables(spark: SparkSession, dirs: list[str], *,
     mdirs = [os.path.join(d, "manifest") for d in dirs]
     mdirs = [m for m in mdirs if os.path.isdir(m) and any(
         _is_manifest_name(f) for f in os.listdir(m))]
-    if not mdirs:
-        manifest = spark.createDataFrame([], MANIFEST_DDL)
-    else:
-        manifest = (spark.read.option("pathGlobFilter", "b[0-9]*.parquet")
-                    .schema(MANIFEST_DDL).parquet(*mdirs)
-                    .filter(F.input_file_name()
-                            .rlike(r"/b[0-9]+\.parquet$")))
+
+    def _manifest_df():
+        # built ONLY on the big-manifest branch: constructing the parquet
+        # relation eagerly paid the driver-side InMemoryFileIndex listing
+        # even when the small-manifest fast path then ignored it — the
+        # very fixed cost that path exists to remove (round-5 review
+        # finding)
+        if not mdirs:
+            return spark.createDataFrame([], MANIFEST_DDL)
+        return (spark.read.option("pathGlobFilter", "b[0-9]*.parquet")
+                .schema(MANIFEST_DDL).parquet(*mdirs)
+                .filter(F.input_file_name()
+                        .rlike(r"/b[0-9]+\.parquet$")))
     par = max(spark.sparkContext.defaultParallelism, 1)
     filters = None
     if zone_filter is not None or path_glob is not None:
@@ -1305,6 +1341,7 @@ def decode_tables(spark: SparkSession, dirs: list[str], *,
             0, len(kept),
             numPartitions=max(1, min(par * 2, max(len(kept), 1))))
     else:
+        manifest = _manifest_df()
         if filters or path_glob:
             def prune(batches):
                 for b in batches:
@@ -1521,7 +1558,11 @@ def register_decoded_view(spark: SparkSession, out_dir: str, name: str,
             df = r.load().filter(F.col(sentinel).isNotNull())
     else:
         sentinel = None
-        df = decode_table(spark, out_dir, columns)
+        # _decode_any_root, not decode_table: a stream-sink root
+        # (batch=N stores, no root _schema.json) must register the same
+        # way it already does on the pushdown fallback path (round-5
+        # review finding — the default mode crashed on stream roots)
+        df = _decode_any_root(spark, out_dir, columns)
     # record for the column-pruning SQL front door (dumpster.sqlfront):
     # narrow re-registrations rebuild from this metadata with no
     # manifest re-scan; sqlfront.sql(spark, query) then decodes only the
@@ -1540,7 +1581,8 @@ def register_decoded_view(spark: SparkSession, out_dir: str, name: str,
 
 
 def save_catalog(catalog_path: str, name: str, out_dir: str,
-                 columns: list[str] | None = None) -> None:
+                 columns: list[str] | None = None,
+                 pushdown: bool = False) -> None:
     """Durable-catalog half of K4 (round-1 verdict "what's missing" #3):
     persist a view registration next to the data so a FRESH session can
     re-register every table without re-deriving paths.  The reference
@@ -1557,7 +1599,11 @@ def save_catalog(catalog_path: str, name: str, out_dir: str,
         if os.path.exists(catalog_path):
             with open(catalog_path) as f:
                 cat = json.load(f)
-        cat[name] = {"path": os.path.abspath(out_dir), "columns": columns}
+        # the pushdown flag is part of the registration (round-5 review
+        # finding: restore_catalog silently re-registered pushdown views
+        # as plain decodes, dropping planning-time pruning)
+        cat[name] = {"path": os.path.abspath(out_dir), "columns": columns,
+                     "pushdown": bool(pushdown)}
         _fs_write_atomic(catalog_path,
                          json.dumps(cat, sort_keys=True, indent=1).encode())
 
@@ -1573,7 +1619,8 @@ def restore_catalog(spark: SparkSession, catalog_path: str) -> dict:
     for name, ent in sorted(cat.items()):
         try:
             out[name] = register_decoded_view(
-                spark, ent["path"], name, ent.get("columns"))
+                spark, ent["path"], name, ent.get("columns"),
+                pushdown=bool(ent.get("pushdown", False)))
         except Exception:
             out[name] = None
     return out

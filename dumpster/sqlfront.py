@@ -93,11 +93,38 @@ def _record_registration(spark: SparkSession, name: str, out_dir: str,
     rebuild (narrow and full) registrations without re-deriving the
     sentinel from the manifest on every query."""
     with _LOCK:
+        # semantic hash of the analyzed plan of the JUST-registered view:
+        # sql() re-checks it before every swap, so a view the USER later
+        # replaced under the same name (createOrReplaceTempView outside
+        # register_decoded_view) is never swapped out (silently wrong
+        # results) nor clobbered by the restore (round-5 review finding)
+        try:
+            sem = int(spark.table(name)._jdf.queryExecution()
+                      .analyzed().semanticHash())
+        except Exception:
+            sem = None
         _REGISTRY[(_session_key(spark), name.lower())] = {
             "name": name, "out_dir": out_dir, "columns": columns,
             "sentinel": sentinel, "pushdown": pushdown,
             "all_columns": list(all_columns),
+            "sem_hash": sem,
         }
+
+
+def _registration_current(spark: SparkSession, meta: dict) -> bool:
+    """True iff the session's CURRENT view under ``meta['name']`` is
+    still the one this module registered.  On False the caller must
+    neither narrow nor restore that name — the view belongs to the user
+    now."""
+    want = meta.get("sem_hash")
+    if want is None:
+        return False          # hash unavailable at registration — never swap
+    try:
+        cur = spark.table(meta["name"])._jdf.queryExecution() \
+            .analyzed().semanticHash()
+        return int(cur) == int(want)
+    except Exception:
+        return False          # view dropped or unreadable — never swap
 
 
 def _registered_views(spark: SparkSession) -> dict[str, dict]:
@@ -242,34 +269,56 @@ def sql(spark: SparkSession, query: str) -> DataFrame:
             return df0            # plan walk failed — full width, exact
 
         swapped: list[dict] = []
-        for alias, cols in needed.items():
-            meta = views[alias]
-            full = set(meta["columns"] or meta["all_columns"])
-            # keep the narrow set deterministic and non-empty (a pure
-            # count(*) still needs one column to drive the scan; the
-            # sentinel is the cheapest proven-present choice)
-            cols = cols & full
-            if not cols:
-                cols = {meta["sentinel"] or sorted(full)[0]}
-            if cols >= full:
-                continue                  # nothing to prune
-            _register_from_meta(spark, meta,
-                                sorted(cols, key=meta["all_columns"].index))
-            swapped.append(meta)
-        if not swapped:
-            return df0
+        # the swap loop sits INSIDE the try: a failure narrowing view B
+        # must still restore already-narrowed view A (round-5 review
+        # finding — an exception mid-loop used to leave earlier views
+        # permanently narrow, and a later plain SELECT * silently lost
+        # columns)
         try:
+            for alias, cols in needed.items():
+                meta = views[alias]
+                if not _registration_current(spark, meta):
+                    # the user replaced (or dropped) this view under the
+                    # same name — it is not ours to narrow or restore;
+                    # drop the stale registry entry and leave the query
+                    # full-width on that view (exact)
+                    _REGISTRY.pop((_session_key(spark), alias), None)
+                    continue
+                full = set(meta["columns"] or meta["all_columns"])
+                # keep the narrow set deterministic and non-empty (a
+                # pure count(*) still needs one column to drive the
+                # scan; the sentinel is the cheapest proven-present
+                # choice)
+                cols = cols & full
+                if not cols:
+                    cols = {meta["sentinel"] or sorted(full)[0]}
+                if cols >= full:
+                    continue              # nothing to prune
+                _register_from_meta(
+                    spark, meta,
+                    sorted(cols, key=meta["all_columns"].index))
+                swapped.append(meta)
+            if not swapped:
+                return df0
             df = spark.sql(query)
             df.schema             # force analysis while views are narrow
             return df
         except Exception:
             # undercounted columns (plan region invisible to the walk)
-            # make the narrow analysis fail loudly — fall back to the
-            # already analyzed full-width plan, exact
-            for meta in swapped:
-                _register_from_meta(spark, meta, None)
-            swapped = []
+            # or a failed swap make the narrow path fail loudly — fall
+            # back to the already analyzed full-width plan, exact (the
+            # finally below restores whatever was narrowed)
             return df0
         finally:
+            errs = []
             for meta in swapped:
-                _register_from_meta(spark, meta, None)
+                try:
+                    _register_from_meta(spark, meta, None)
+                except Exception as e:            # noqa: PERF203
+                    errs.append((meta["name"], e))
+            if errs:
+                raise RuntimeError(
+                    f"failed to restore full-width registration for "
+                    f"view(s) {[n for n, _ in errs]} "
+                    f"({errs[0][1]!r}): they may still be NARROW — "
+                    f"re-run register_decoded_view for each")

@@ -23,7 +23,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .engine import decode_table, encode_table, read_manifest, table_schema
+from .engine import decode_table, encode_table, table_schema
 
 
 def encode_stream(stream_df: DataFrame, out_dir: str, *,
@@ -284,17 +284,26 @@ def compact_stream(spark: SparkSession, out_dir: str, dst_dir: str, *,
 
 
 def stream_manifest(spark: SparkSession, out_dir: str) -> DataFrame:
-    """All batches' lineage/metrics rows with their batch id."""
-    parts = []
-    for d in batch_dirs(out_dir):
-        bid = int(os.path.basename(d).split("=")[1])
-        parts.append(read_manifest(spark, d).withColumn("batch_id", F.lit(bid)))
-    if not parts:
+    """All batches' lineage/metrics rows with their batch id.
+
+    ONE multi-path parquet scan with the batch id parsed from the file
+    path — the same constant-size-plan discipline decode_stream_table
+    documents (a per-batch read_manifest chained through unionByName
+    grew the plan linearly with batch count: a day of 1-minute
+    micro-batches = 1440 relations and 1439 union nodes — round-5
+    review finding)."""
+    from .engine import MANIFEST_DDL
+    dirs = batch_dirs(out_dir)
+    if not dirs:
         raise FileNotFoundError(f"no batch=* tables under {out_dir}")
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    mdirs = [os.path.join(d, "manifest") for d in dirs]
+    mdirs = [m for m in mdirs if os.path.isdir(m)]
+    return (spark.read.option("pathGlobFilter", "b[0-9]*.parquet")
+            .schema(MANIFEST_DDL).parquet(*mdirs)
+            .filter(F.input_file_name().rlike(r"/b[0-9]+\.parquet$"))
+            .withColumn("batch_id",
+                        F.regexp_extract(F.input_file_name(),
+                                         r"batch=(\d+)/", 1).cast("long")))
 
 
 def _dedup_group(last: int, pdfs, partition_col: str, offset_col: str):
@@ -364,7 +373,7 @@ def stateful_offset_dedup(stream_df: DataFrame,
 
 def stateful_sessionize(stream_df: DataFrame, user_col: str = "user_id",
                         ts_col: str = "ts", gap_seconds: int = 1800,
-                        state_ttl_batches: int | None = None):
+                        state_ttl_seconds: int | None = None):
     """Streaming form of :func:`dumpster.pipeline.sessionize`: gap-based
     session ids assigned across micro-batches with managed state.
 
@@ -381,6 +390,16 @@ def stateful_sessionize(stream_df: DataFrame, user_col: str = "user_id",
     split an already-numbered session; they are CONSERVATIVELY attached
     to the current session (documented divergence from the batch op,
     which sees all data; pair with a watermark upstream to bound it).
+
+    ``state_ttl_seconds`` bounds state on high-cardinality user streams:
+    a user idle longer than the TTL has their state evicted via a
+    processing-time timeout (the previous ``state_ttl_batches``
+    parameter was accepted but silently ignored — round-5 review
+    finding; this one is real).  Caveat: an evicted user who returns
+    restarts session numbering at 1, so set the TTL well past the
+    longest session gap you care about (≥ several × ``gap_seconds``);
+    with no TTL, state lives for the stream's lifetime and numbering
+    never repeats.
     """
     import pandas as pd
 
@@ -395,13 +414,20 @@ def stateful_sessionize(stream_df: DataFrame, user_col: str = "user_id",
         StructField("ts_us", LongType()),
         StructField("session_id", StringType())])
     gap_us = int(gap_seconds) * 1_000_000
+    ttl_ms = None if state_ttl_seconds is None \
+        else int(state_ttl_seconds) * 1000
 
     def assign(key, pdfs, state: GroupState):
         import numpy as np
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()               # idle past TTL — evict
+            return
         last_us, n_sess = state.get if state.exists else (-1, 0)
         chunks = [pdf for pdf in pdfs if len(pdf)]
         if not chunks:
             state.update((last_us, n_sess))
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
             return
         rows = pd.concat(chunks).sort_values(["__us"], kind="stable")
         us = rows["__us"].to_numpy(dtype="int64")
@@ -411,6 +437,8 @@ def stateful_sessionize(stream_df: DataFrame, user_col: str = "user_id",
             new[0] = True                 # first event ever → session 1
         sess = n_sess + np.cumsum(new)
         state.update((max(int(us[-1]), int(last_us)), int(sess[-1])))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         yield pd.DataFrame({user_col: rows[user_col].to_numpy(),
                             "ts_us": us,
                             "session_id": [f"{key[0]}-{s}" for s in sess]})
@@ -418,10 +446,12 @@ def stateful_sessionize(stream_df: DataFrame, user_col: str = "user_id",
     prepped = stream_df.select(
         F.col(user_col),
         F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__us"))
+    timeout = (GroupStateTimeout.NoTimeout if ttl_ms is None
+               else GroupStateTimeout.ProcessingTimeTimeout)
     return prepped.groupBy(user_col).applyInPandasWithState(
         assign, outputStructType=out_schema,
         stateStructType="last_us long, n_sess long",
-        outputMode="append", timeoutConf=GroupStateTimeout.NoTimeout)
+        outputMode="append", timeoutConf=timeout)
 
 
 def hourly_windowed_counts(stream_df: DataFrame, ts_col: str = "warc_ts",

@@ -139,3 +139,141 @@ def test_dedup_against_store_null_text_survives(spark, tmp_path):
                   dedup.dedup_against_store(spark, docs, out).collect())
     # NULL-text rows (3, 5) survive; both "seen doc" copies drop
     assert kept == [2, 3, 5]
+
+
+# --- second/third review-batch regressions (round-5) -----------------------
+
+
+def test_sqlfront_respects_user_replaced_view(spark, tmp_path):
+    """A view the USER re-registered under the same name must be neither
+    swapped out mid-query (silently wrong rows) nor clobbered by the
+    restore — the registry entry is stale and sql() must detect it via
+    the recorded semantic hash."""
+    from dumpster import sqlfront
+    from dumpster.engine import decode_table, encode_table, \
+        register_decoded_view
+
+    d = str(tmp_path / "sqv")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    encode_table(docs, d, mode="local")
+    register_decoded_view(spark, d, "r5_vdocs", pushdown=True)
+    # narrow pruning works while the registration is ours
+    exp = sorted(map(tuple, docs.groupBy("lang").count().collect()))
+    got = sorted(map(tuple, sqlfront.sql(
+        spark, "SELECT lang, count(*) AS count FROM r5_vdocs "
+               "GROUP BY lang").collect()))
+    assert got == exp
+    # user clobbers the name with a FILTERED view
+    decode_table(spark, d).filter("lang = 'en'") \
+        .createOrReplaceTempView("r5_vdocs")
+    n_en = decode_table(spark, d).filter("lang = 'en'").count()
+    got2 = sqlfront.sql(
+        spark, "SELECT count(*) AS n FROM r5_vdocs").collect()[0]["n"]
+    assert got2 == n_en
+    # and the user's view survives the call untouched
+    assert spark.sql("SELECT count(*) AS n FROM r5_vdocs") \
+        .collect()[0]["n"] == n_en
+
+
+def test_encode_bucket_col_named_dunder_bucket(spark, tmp_path):
+    """bucket_col='__bucket' is whitelisted by the reserved-name check
+    and must actually work (the withColumn+drop sequence used to delete
+    the column and crash the encode)."""
+    from dumpster.engine import decode_table, encode_table
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .withColumn("__bucket",
+                        F.pmod(F.xxhash64("doc_id"), F.lit(4)).cast("int"))
+            .repartition(4, "__bucket"))
+    d = str(tmp_path / "bkt")
+    encode_table(docs, d, bucket_col="__bucket", chunk_rows=512)
+    back = decode_table(spark, d)
+    exp = docs.drop("__bucket")
+    assert back.select(*exp.columns).exceptAll(exp).count() == 0
+    assert exp.exceptAll(back.select(*exp.columns)).count() == 0
+
+
+def test_decode_empty_columns_list_raises(spark, tmp_path):
+    """columns=[] used to silently decode 0 rows (a zero-column Arrow
+    batch has num_rows 0) — count(*) callers got 0 instead of the table
+    size."""
+    from dumpster.engine import decode_table, encode_table
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    d = str(tmp_path / "ec")
+    encode_table(docs, d, mode="local")
+    with pytest.raises(ValueError, match="columns"):
+        decode_table(spark, d, columns=[])
+
+
+def test_register_view_on_stream_root_without_pushdown(spark, tmp_path):
+    """register_decoded_view(pushdown=False) must accept a stream-sink
+    root (batch=N stores) the same way the pushdown fallback already
+    does — it used to crash on the missing root _schema.json."""
+    from dumpster.engine import encode_table, register_decoded_view
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    root = tmp_path / "sroot"
+    for i in range(2):
+        encode_table(docs.limit(25), str(root / f"batch={i:06d}"),
+                     mode="local")
+    register_decoded_view(spark, str(root), "r5_streamv", pushdown=False)
+    assert spark.sql("SELECT count(*) AS n FROM r5_streamv") \
+        .collect()[0]["n"] == 50
+
+
+def test_catalog_preserves_pushdown_flag(spark, tmp_path):
+    """save_catalog records the pushdown flag and restore_catalog
+    re-registers with it (it used to silently downgrade pushdown views
+    to plain decodes)."""
+    import json
+
+    from dumpster.engine import encode_table, restore_catalog, save_catalog
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    d = str(tmp_path / "catp")
+    encode_table(docs, d, mode="local")
+    cat = str(tmp_path / "_catalog.json")
+    save_catalog(cat, "r5_cat_pd", d, pushdown=True)
+    with open(cat) as f:
+        assert json.load(f)["r5_cat_pd"]["pushdown"] is True
+    out = restore_catalog(spark, cat)
+    assert out["r5_cat_pd"] is not None
+    # the restored view is the pushdown relation (dumpster data source),
+    # not a plain mapInArrow decode
+    plan = spark.table("r5_cat_pd")._jdf.queryExecution() \
+        .analyzed().toString()
+    assert "dumpster" in plan.lower()
+    assert spark.sql("SELECT count(*) AS n FROM r5_cat_pd") \
+        .collect()[0]["n"] == docs.count()
+
+
+def test_stateful_sessionize_ttl_wires_timeout(spark, tmp_path):
+    """state_ttl_seconds must engage the ProcessingTimeTimeout path (its
+    predecessor parameter was accepted and silently ignored); with a
+    generous TTL the results are identical to the no-TTL run."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dumpster.streaming import stateful_sessionize
+
+    src = tmp_path / "ttlsrc"
+    src.mkdir()
+    tbl = pa.table({
+        "user_id": pa.array(["u1", "u1", "u2"], type=pa.string()),
+        "ts": pa.array([0, 600 * 1_000_000, 100 * 1_000_000],
+                       type=pa.timestamp("us"))})
+    pq.write_table(tbl, src / "f1.parquet")
+    stream = (spark.readStream.schema("user_id string, ts timestamp")
+              .parquet(str(src)))
+    q = (stateful_sessionize(stream, "user_id", "ts", gap_seconds=1800,
+                             state_ttl_seconds=3600)
+         .writeStream.format("memory").queryName("sess_ttl5")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ttlck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {(r.user_id, r.ts_us, r.session_id)
+           for r in spark.table("sess_ttl5").collect()}
+    assert got == {("u1", 0, "u1-1"), ("u1", 600_000_000, "u1-1"),
+                   ("u2", 100_000_000, "u2-1")}
