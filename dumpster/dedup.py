@@ -590,8 +590,13 @@ def near_dup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
 
     Returns (id, component) where component = min doc_id reachable.
     """
-    edges = pairs.select(F.col("id_a").cast("long").alias("src"),
-                         F.col("id_b").cast("long").alias("dst"))
+    # ids keep their REAL type: min-label propagation only needs an
+    # orderable id, and a hard cast("long") either aborted on string
+    # doc ids (ANSI CAST_INVALID_INPUT) or — ANSI off — nulled every
+    # edge and silently returned the corpus undeduplicated (round-5
+    # review finding)
+    edges = pairs.select(F.col("id_a").alias("src"),
+                         F.col("id_b").alias("dst"))
     sym = edges.unionAll(edges.select(F.col("dst").alias("src"),
                                       F.col("src").alias("dst")))
     sym = _persist_tracked(sym)

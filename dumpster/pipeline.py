@@ -20,13 +20,19 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-HOST_PATTERN = r"^[a-z][a-z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)"
+# ONE host-extraction definition for the whole engine (textops owns it):
+# the previous local copy accepted only lowercase schemes and let the
+# userinfo group swallow '?'/'#' — host_of('http://e.com?next=a@b.com')
+# returned 'b.com' and uppercase-scheme URLs returned '' (round-5 review
+# finding; wrong salted buckets for those rows)
+from .textops import _URL_HOST_RE as HOST_PATTERN  # noqa: E402
 
 
 def host_of(url: Column | str) -> Column:
-    """Extract the host from a url (empty string when unparseable)."""
-    return F.regexp_extract(F.col(url) if isinstance(url, str) else url,
-                            HOST_PATTERN, 1)
+    """Extract the lowercased host from a url (empty string when
+    unparseable) — identical semantics to :func:`textops.url_host`."""
+    return F.lower(F.regexp_extract(
+        F.col(url) if isinstance(url, str) else url, HOST_PATTERN, 1))
 
 
 def salted_bucket(url: Column | str, n_buckets: int, salt_k: int = 4) -> Column:
@@ -41,11 +47,11 @@ def salted_bucket(url: Column | str, n_buckets: int, salt_k: int = 4) -> Column:
     salt_k to the observed head mass; both stay explicit knobs.
     """
     u = F.col(url) if isinstance(url, str) else url
-    salt_k = max(1, min(salt_k, n_buckets))  # ids must stay < n_buckets
-    n_groups = max(n_buckets // salt_k, 1)
-    host_group = F.pmod(F.xxhash64(host_of(u)), F.lit(n_groups))
-    salt = F.pmod(F.xxhash64(u), F.lit(salt_k))
-    return (host_group * salt_k + salt).cast("int")
+    # one definition of the clamp/group/salt arithmetic — delegating
+    # keeps this byte-identical to the precomputed-host form the engine
+    # layouts depend on (round-5 review finding: the duplicated formula
+    # could silently drift)
+    return salted_bucket_of_host(host_of(u), u, n_buckets, salt_k)
 
 
 def hour_partition(df: DataFrame, ts_col: str = "warc_ts") -> DataFrame:

@@ -83,7 +83,11 @@ def brute_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
                  pa.array(np.round(sims.T.ravel(), 6), type=pa.float64())],
                 names=["query_id", "neighbor_id", "sim"])
 
-    scored = (emb.select(id_col, vec_col)
+    # scan side pre-filters NULLs too (a single failed-decode vector
+    # used to abort the whole job in _as_matrix — round-5 review
+    # finding); NULL vectors have no cosine, same rule as the lsh_* ops
+    scored = (emb.filter(F.col(vec_col).isNotNull())
+              .select(id_col, vec_col)
               .mapInArrow(score, "query_id long, neighbor_id long, sim double")
               .filter(F.col("query_id") != F.col("neighbor_id")))
     w = Window.partitionBy("query_id").orderBy(
@@ -183,6 +187,16 @@ def embedding_near_dups_lsh(emb: DataFrame, threshold: float = 0.9,
     here is keyed (band, band-hash) — shuffle of signatures, then of the
     surviving candidate pairs only, never all-pairs.
     """
+    if bands <= 0 or bands > n_planes or n_planes % bands:
+        # r = n_planes // bands = 0 would put EVERY vector in one bucket
+        # (bh = sig & 0), silently degenerating the banded equijoin into
+        # the all-pairs join this function exists to avoid; a
+        # non-divisible split would silently drop the high sign bits
+        # (round-5 review finding)
+        raise ValueError(
+            f"bands={bands} must divide n_planes={n_planes} evenly "
+            f"(1 <= bands <= n_planes): r = n_planes/bands is the "
+            f"per-band bit width")
     r = n_planes // bands
     sig = lsh_signatures(emb, n_planes, seed, id_col, vec_col)
     band_rows = sig.select(
@@ -226,7 +240,8 @@ def centroids_first_k(emb: DataFrame, n_cells: int, id_col: str = "vec_id",
             f"n_cells={n_cells} out of range (1..{MAX_IVF_CELLS}): "
             f"centroids are collected to the driver by design; partition "
             f"the id space and run per-partition IVF for more cells")
-    rows = (emb.select(id_col, vec_col).orderBy(id_col).limit(n_cells)
+    rows = (emb.filter(F.col(vec_col).isNotNull())   # NULLs: no centroid
+            .select(id_col, vec_col).orderBy(id_col).limit(n_cells)
             .collect())
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)
@@ -348,9 +363,11 @@ def ivf_cells(emb: DataFrame, n_cells: int = 16, id_col: str = "vec_id",
                 names=[id_col, "cell", "sim"])
 
     # the output schema carries the CALLER'S id column name — hardcoding
-    # 'vec_id' broke every downstream select under a non-default id_col
-    return emb.select(id_col, vec_col).mapInArrow(
-        assign, f"{id_col} long, cell long, sim double")
+    # 'vec_id' broke every downstream select under a non-default id_col.
+    # NULL vectors are unassignable, same rule as every other entry point
+    return (emb.filter(F.col(vec_col).isNotNull())
+            .select(id_col, vec_col).mapInArrow(
+                assign, f"{id_col} long, cell long, sim double"))
 
 
 def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
@@ -368,7 +385,8 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
     spark = emb.sparkSession
     cids, cmat = centroids if centroids is not None else \
         centroids_first_k(emb, n_cells, id_col, vec_col)
-    qrows = (emb.filter(F.col(id_col).isin(query_ids))
+    qrows = (emb.filter(F.col(id_col).isin(query_ids)
+                        & F.col(vec_col).isNotNull())
              .select(id_col, vec_col).collect())
     probes = []
     for r in qrows:

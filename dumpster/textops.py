@@ -136,7 +136,6 @@ def doc_fingerprint(texts: pd.Series) -> pd.Series:
     if len(ne):
         starts, ends = offs[:-1][ne], offs[1:][ne]
         l = lens[ne]
-        total = int(l.sum())
         pows = _pow_table(int(l.max()))
         # exponent of byte j (global) = doc_end - 1 - j
         exps = np.repeat(ends, l) - 1 - _ranges_concat(starts, l)
@@ -570,8 +569,15 @@ def select_token_budget(df: DataFrame, strata_col: str, budgets: dict,
         StructField("__thr", LongType()),
         StructField("__above", LongType()),
         StructField("__b", LongType())])
-    bdf = F.broadcast(spark.createDataFrame(bounds, bschema))
-    probed = base.join(bdf, strata_col, "inner")
+    # null-safe probe: a NULL stratum is a real stratum (it passed the
+    # base filter via default_budget and has a bounds row), but an inner
+    # equi-join on the column would drop it — NULL never equals NULL —
+    # silently losing the whole group while the oracle keeps it
+    # (round-5 review finding)
+    bdf = F.broadcast(spark.createDataFrame(bounds, bschema)
+                      .withColumnRenamed(strata_col, "__sk"))
+    probed = base.join(bdf, F.col(strata_col).eqNullSafe(F.col("__sk")),
+                       "inner").drop("__sk")
     kept_full = probed.filter(F.col("__thr").isNull()
                               | (F.col("__qb") > F.col("__thr")))
     w = (Window.partitionBy(strata_col)
@@ -841,7 +847,8 @@ def repetition_signals_sql(text_expr: str = "text",
     """
 
 
-def lang_id_sql(text_expr: str = "text", id_expr: str = "doc_id") -> str:
+def lang_id_sql(text_expr: str = "text", id_expr: str = "doc_id",
+                src: str = "documents") -> str:
     """DuckDB/ANSI oracle equivalent of :func:`lang_id`."""
     def occ(pat):
         pad = f"(' ' || {text_expr} || ' ')"
@@ -855,4 +862,4 @@ def lang_id_sql(text_expr: str = "text", id_expr: str = "doc_id") -> str:
         cases.append(f"WHEN {score[lang]} = {max_s} THEN '{lang}'")
     return (f"SELECT {id_expr} AS doc_id, "
             f"CASE {' '.join(cases)} END AS lang_guess "
-            f"FROM documents")
+            f"FROM {src}")

@@ -277,3 +277,100 @@ def test_stateful_sessionize_ttl_wires_timeout(spark, tmp_path):
            for r in spark.table("sess_ttl5").collect()}
     assert got == {("u1", 0, "u1-1"), ("u1", 600_000_000, "u1-1"),
                    ("u2", 100_000_000, "u2-1")}
+
+
+# --- fourth review-batch regressions (round-5) ------------------------------
+
+
+def test_select_token_budget_null_stratum_kept(spark):
+    """Rows with a NULL stratum pass the base filter via default_budget
+    and must survive the bounds probe (the inner equi-join silently
+    dropped the whole NULL stratum; the oracle keeps it)."""
+    import duckdb
+
+    from dumpster.textops import select_token_budget, \
+        select_token_budget_sql
+
+    rows = [(i, None if i % 3 == 0 else ("en" if i % 2 else "pt"),
+             float(i % 7), 100) for i in range(60)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, quality double, n_tokens long")
+    got = select_token_budget(df, "lang", {"en": 1500},
+                              default_budget=1200)
+    # NULL stratum present in the output
+    assert got.filter(F.col("lang").isNull()).count() > 0
+    import pandas as pd
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    oracle = con.execute(select_token_budget_sql(
+        "t", "lang", {"en": 1500}, default_budget=1200)).df()
+    a = got.toPandas().sort_values(["doc_id"]).reset_index(drop=True)
+    b = oracle.sort_values(["doc_id"]).reset_index(drop=True)[a.columns]
+    assert len(a) == len(b)
+    pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
+
+
+def test_near_dup_components_string_ids(spark):
+    """Connected components must work on string doc ids — the old
+    cast('long') nulled every edge under legacy mode (silent no-op
+    dedup) or aborted under ANSI."""
+    from dumpster.dedup import near_dup_components
+
+    pairs = spark.createDataFrame(
+        [("doc-a", "doc-b"), ("doc-b", "doc-c"), ("doc-x", "doc-y")],
+        "id_a string, id_b string")
+    comp = {r["id"]: r["component"]
+            for r in near_dup_components(pairs).collect()}
+    assert comp["doc-a"] == comp["doc-b"] == comp["doc-c"] == "doc-a"
+    assert comp["doc-x"] == comp["doc-y"] == "doc-x"
+
+
+def test_simsearch_tolerates_null_embeddings(spark):
+    """One NULL embedding must not crash brute_topk / ivf_cells /
+    ivf_topk (the lsh_* entry points already filtered; these did not)."""
+    from dumpster.simsearch import brute_topk, ivf_cells, ivf_topk
+
+    rows = [(i, [float(i), 1.0, 0.5]) for i in range(20)]
+    rows.append((99, None))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    bt = brute_topk(emb, query_ids=[1, 99], k=3)
+    assert bt.filter(F.col("query_id") == 99).count() == 0
+    assert bt.filter(F.col("query_id") == 1).count() == 3
+    cells = ivf_cells(emb, n_cells=4)
+    assert cells.filter(F.col("vec_id") == 99).count() == 0
+    assert cells.count() == 20
+    it = ivf_topk(emb, query_ids=[1, 99], k=3, n_cells=4, n_probe=4)
+    assert it.filter(F.col("query_id") == 99).count() == 0
+    assert it.filter(F.col("query_id") == 1).count() == 3
+
+
+def test_embedding_lsh_bands_validation(spark):
+    """bands must divide n_planes (r=0 used to put every vector in one
+    bucket — a silent all-pairs degeneration)."""
+    from dumpster.simsearch import embedding_near_dups_lsh
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(4)],
+        "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="bands"):
+        embedding_near_dups_lsh(emb, n_planes=16, bands=32)
+    with pytest.raises(ValueError, match="bands"):
+        embedding_near_dups_lsh(emb, n_planes=16, bands=3)
+
+
+def test_host_of_hard_urls(spark):
+    """Query-before-path and uppercase-scheme URLs extract the right
+    host (the old pattern returned 'b.com' / '' respectively), and the
+    pipeline extractor agrees with textops.url_host."""
+    from dumpster import pipeline, textops
+
+    df = spark.createDataFrame(
+        [("http://example.com?next=a@b.com",),
+         ("HTTP://Example.com/x",),
+         ("https://plain.example.org/p",)], "url string")
+    got = [r[0] for r in df.select(pipeline.host_of("url")).collect()]
+    assert got == ["example.com", "example.com", "plain.example.org"]
+    via_textops = [r[0] for r in
+                   df.select(textops.url_host(F.col("url"))).collect()]
+    assert got == via_textops
