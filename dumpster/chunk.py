@@ -115,11 +115,6 @@ def _list_parts(arr: pa.Array) -> tuple[np.ndarray, pa.Array]:
     return np.diff(offs), child
 
 
-def _int64_view_type(t: pa.DataType) -> pa.DataType:
-    """The int64-family arrow type used as the cast bridge for _KIND_INT."""
-    return pa.int64()
-
-
 def _is_32bit_temporal(t: pa.DataType) -> bool:
     return pa.types.is_date32(t) or (pa.types.is_time(t)
                                      and t.bit_width == 32)
@@ -313,7 +308,12 @@ def encode_chunk_pieces(batch: pa.RecordBatch, *, table_id: str = "t",
             n_valid = len(dense)
             raw_bytes = _raw_size(dense, kind)
             lengths, child = _list_parts(dense)
-            if pa.types.is_integer(child.type):
+            if pa.types.is_uint64(child.type):
+                # same bridge as _int_bridge_values: uint64 ≥ 2^63 fails
+                # Arrow's checked cast — bit-view keeps the round trip
+                # exact (round-5 review finding: list<uint64> crashed)
+                cvals = np.asarray(child.view(pa.int64()))
+            elif pa.types.is_integer(child.type):
                 cvals = np.asarray(child.cast(pa.int64()))
             else:
                 cvals = np.asarray(child)
@@ -468,6 +468,14 @@ def encode_chunk(batch: pa.RecordBatch, *, table_id: str = "t",
 def _assemble(arrays, names, schema, columns) -> pa.RecordBatch:
     if columns is None:
         return pa.RecordBatch.from_arrays(arrays, schema=schema)
+    if not columns:
+        # a zero-column RecordBatch cannot carry a row count (Arrow
+        # collapses it to num_rows 0), so columns=[] would silently
+        # report 0 rows for every chunk — refuse loudly, mirroring
+        # engine.decode_table (round-5 review finding)
+        raise ValueError(
+            "columns=[] cannot be decoded (a zero-column batch loses "
+            "the row count); pass columns=None or at least one column")
     order = {n: i for i, n in enumerate(names)}
     sel = [c for c in columns if c in order]
     fields = [schema.field(c) for c in sel]
@@ -719,7 +727,12 @@ def _decode_column(desc: dict, vbm: bytes, payload: bytes, n_rows: int,
         cvals = decode_fixed(codec, zl, payload[lpn:], meta["child"],
                              meta["cn"])
         child_type = target_type.value_type
-        if pa.types.is_integer(child_type):
+        if pa.types.is_uint64(child_type):
+            # bit-view back: a stored value ≥ 2^63 travels as a negative
+            # int64 and the checked cast would refuse it (the mirror of
+            # the encode-side bridge)
+            child = pa.array(cvals.view(np.uint64), type=child_type)
+        elif pa.types.is_integer(child_type):
             child = pa.array(cvals.view(np.int64)).cast(child_type)
         else:
             child = pa.array(cvals, type=child_type)
@@ -749,12 +762,14 @@ def _decode_column(desc: dict, vbm: bytes, payload: bytes, n_rows: int,
     vals = decode_fixed(codec, zl, payload, meta, n_valid)
     if kind == _KIND_INT:
         vals = vals.view(np.int64)
-        full = np.zeros(n_rows, dtype=np.int64)
         bridge = pa.int64()
     else:
-        full = np.zeros(n_rows, dtype=vals.dtype)
         bridge = pa.from_numpy_dtype(vals.dtype)
     if valid is not None:
+        # the zero-fill scatter buffer is only needed when nulls exist —
+        # allocating it unconditionally wasted an n_rows zero-fill per
+        # non-null fixed column on the decode hot path
+        full = np.zeros(n_rows, dtype=vals.dtype)
         full[valid] = vals
     else:
         full = np.ascontiguousarray(vals)
@@ -775,12 +790,8 @@ def _vbuf(valid: np.ndarray | None):
 
 
 def _raw_size(dense: pa.Array, kind: str) -> int:
-    if kind == _KIND_VAR:
-        a = dense.cast(pa.large_binary())
-        bufs = a.buffers()
-        offs = np.frombuffer(bufs[1], dtype=np.int64,
-                             count=len(a) + 1, offset=a.offset * 8)
-        return int(offs[-1] - offs[0]) + 8 * len(dense)
+    # _KIND_VAR computes raw_bytes inline on the zero-copy path and
+    # never calls this
     if kind == _KIND_LIST:
         lengths, child = _list_parts(dense)
         return int(lengths.sum()) * child.type.bit_width // 8 + 8 * len(dense)

@@ -156,18 +156,45 @@ def file_lock(lock_path: str, timeout: float = 30.0, stale: float = 120.0):
             break
         except FileExistsError:
             try:
-                if time.time() - os.path.getmtime(lock_path) > stale:
-                    # break a crashed holder's lock ATOMICALLY: rename to
-                    # a unique victim name first — only one waiter's
-                    # rename succeeds, so a second waiter with a stale
-                    # stat result can never unlink the FRESH lock the
-                    # first waiter is about to take (TOCTOU)
-                    victim = f"{lock_path}.broken.{os.urandom(6).hex()}"
-                    os.rename(lock_path, victim)
-                    os.unlink(victim)
-                    continue
+                lock_stale = (time.time() - os.path.getmtime(lock_path)
+                              > stale)
             except FileNotFoundError:
                 continue  # holder released between open and stat — retry
+            if lock_stale:
+                # break a crashed holder's lock under a BREAKER MUTEX
+                # (round-5 review finding): two waiters can both pass
+                # the staleness check on the same stale lock; without
+                # serialization the second one's break would remove the
+                # FRESH lock the first breaker had just acquired — two
+                # processes inside the critical section, the exact
+                # lost-update the lock exists to prevent.  Breaking is
+                # O_EXCL on `.breaker` (held for microseconds, no user
+                # code inside), and staleness is RE-CHECKED under it, so
+                # a fresh lock can never be removed.
+                breaker = lock_path + ".breaker"
+                try:
+                    bfd = os.open(breaker,
+                                  os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    os.close(bfd)
+                except FileExistsError:
+                    # another waiter is mid-break; clear the breaker
+                    # itself only if ITS holder crashed
+                    try:
+                        if time.time() - os.path.getmtime(breaker) > stale:
+                            os.unlink(breaker)
+                    except OSError:
+                        pass
+                else:
+                    try:
+                        try:
+                            if (time.time() - os.path.getmtime(lock_path)
+                                    > stale):
+                                os.unlink(lock_path)
+                        except FileNotFoundError:
+                            pass
+                    finally:
+                        os.unlink(breaker)
+                continue
             if time.monotonic() > deadline:
                 try:
                     holder = open(lock_path).read()

@@ -107,7 +107,13 @@ def media_features(df: DataFrame, id_col: str, bin_col: str,
             arr = blobs.combine_chunks() if isinstance(
                 blobs, pa.ChunkedArray) else blobs
             n = len(arr)
-            offs = np.frombuffer(arr.buffers()[1], dtype=np.int32,
+            # offset width follows the ACTUAL type: large_binary carries
+            # int64 offsets (spark.sql.execution.arrow.useLargeVarTypes)
+            # and reading them as int32 interleaves low/high words —
+            # garbage lengths (round-5 review finding)
+            odt = (np.int64 if pa.types.is_large_binary(arr.type)
+                   or pa.types.is_large_string(arr.type) else np.int32)
+            offs = np.frombuffer(arr.buffers()[1], dtype=odt,
                                  count=n + 1 + arr.offset)[arr.offset:]
             offs = offs.astype(np.int64)
             dbuf = arr.buffers()[2]
@@ -128,11 +134,14 @@ def media_features(df: DataFrame, id_col: str, bin_col: str,
                 pa.array(vals.ravel(), type=pa.float32()), dim) \
                 .cast(pa.list_(pa.float32()))
             if arr.null_count:
-                mask = np.asarray(arr.is_null())
-                py = feats_arr.to_pylist()
-                feats_arr = pa.array(
-                    [None if m else v for m, v in zip(mask, py)],
-                    type=pa.list_(pa.float32()))
+                # stay in Arrow: if_else nulls the masked rows without
+                # round-tripping every feature vector through Python
+                # lists (round-5 review finding)
+                import pyarrow.compute as pc
+                feats_arr = pc.if_else(
+                    arr.is_null(),
+                    pa.nulls(n, type=pa.list_(pa.float32())),
+                    feats_arr)
             yield pa.RecordBatch.from_arrays(
                 [ids.cast(pa.int64()), feats_arr],
                 names=["id", "features"])
