@@ -88,10 +88,10 @@ def main():
     pages_path = materialize_pages(spark, rows, cache, seed=42)
     synth_sec = time.perf_counter() - t0
     pages = spark.read.parquet(pages_path)
-    logical_bytes = pages.select(
-        (F.octet_length("url") + F.octet_length("text")
-         + F.octet_length("lang") + F.coalesce(F.octet_length("html"), F.lit(0))
-         + F.lit(8)).alias("b")).agg(F.sum("b")).collect()[0][0]
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench"))
+    from benchutil import logical_bytes_of
+    logical_bytes = logical_bytes_of(pages)
 
     # --- JIT/worker warmup: tiny encode+decode on a throwaway dir so the
     # timed runs measure steady-state throughput, not first-job compilation
@@ -321,11 +321,19 @@ def main():
             best = w if best is None else min(best, w)
         timings[name] = best
 
+    # `value` keeps its historical definition (sum of EVERY timed key,
+    # diagnostics included) so the BENCH_r01..r05 series stays
+    # self-consistent — but that sum grows whenever a diagnostic is
+    # added, so `headline_wall_sec` carries the clean product number:
+    # the engine's own encode + decode walls only (round-5 review
+    # finding)
     total = sum(timings.values())
+    headline = timings["encode_pages"] + timings.get("decode_pages", 0.0)
     encode_gbps = logical_bytes / timings["encode_pages"] / 1e9
     result = {
         "metric": "encode+decode+queries wall",
         "value": round(total, 3),
+        "headline_wall_sec": round(headline, 3),
         "unit": "sec",
         "sf": sf,
         "queries": {k: round(v, 3) for k, v in timings.items()},

@@ -41,8 +41,19 @@ N_BUCKETS = 128
 CHUNK_ROWS = 65536
 
 
-def _shm_dir(name: str) -> str:
-    base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+def _shm_dir(name: str, need_bytes: int = 0) -> str:
+    """/dev/shm when it exists AND can hold ``need_bytes`` (bench.py's
+    guard — round-5 review finding: an unconditional /dev/shm placement
+    ENOSPC'd mid-run on hosts whose tmpfs can't hold the ~23 GB sf1
+    parquet cache), else the regular temp dir."""
+    base = tempfile.gettempdir()
+    if os.path.isdir("/dev/shm"):
+        try:
+            import shutil as _sh
+            if _sh.disk_usage("/dev/shm").free > need_bytes + (1 << 30):
+                base = "/dev/shm"
+        except OSError:
+            pass
     d = os.path.join(base, name)
     os.makedirs(d, exist_ok=True)
     return d
@@ -107,20 +118,18 @@ def main() -> None:
     from dumpster.session import get_spark
     from dumpster.synth import materialize_pages
 
-    work = _shm_dir("dumpster_dec_sf1_work_prep")
+    need = rows * 3000 * 3        # parquet cache + store + shuffle slack
+    work = _shm_dir("dumpster_dec_sf1_work_prep", need)
     tempfile.tempdir = work
-    cache = _shm_dir("dumpster_dec_sf1_cache")
-    store = os.path.join(_shm_dir("dumpster_dec_sf1"), "store")
+    cache = _shm_dir("dumpster_dec_sf1_cache", need)
+    store = os.path.join(_shm_dir("dumpster_dec_sf1", need), "store")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
     spark = get_spark("decode-sf1-prep", cores=cpus, chunk_rows=8192,
                       extra={"spark.local.dir": work})
+    from benchutil import logical_bytes_of
     pages = spark.read.parquet(materialize_pages(spark, rows, cache, seed=42))
-    logical_bytes = int(pages.select(
-        (F.octet_length("url") + F.octet_length("text")
-         + F.octet_length("lang")
-         + F.coalesce(F.octet_length("html"), F.lit(0))
-         + F.lit(8)).alias("b")).agg(F.sum("b")).collect()[0][0])
+    logical_bytes = logical_bytes_of(pages)
     # skip the (expensive) encode only when the cached store is COMPLETE
     # for this run's row count — a manifest dir alone also exists for a
     # store whose encode was interrupted, or one built for a different
@@ -152,9 +161,8 @@ def main() -> None:
              store, str(logical_bytes)],
             env=dict(os.environ, DUMPSTER_BENCH_TRIALS=str(trials)),
             capture_output=True, text=True, check=True)
-        line = [l for l in out.stdout.strip().splitlines()
-                if l.startswith("{")][-1]
-        legs[c] = json.loads(line)
+        from benchutil import last_json_line
+        legs[c] = last_json_line(out.stdout)
         print(f"local[{c}]: {legs[c]['decode_gb_per_sec']} GB/s "
               f"({legs[c]['decode_wall_s']}s) trials="
               f"{legs[c]['decode_trials_sec']}", file=sys.stderr)
@@ -167,11 +175,9 @@ def main() -> None:
         "local1": legs[1], "local4": legs[4],
         "decode_scaling_efficiency": eff,
     }
-    path = os.path.join(REPO, "bench", "scaling_results.json")
-    data = json.load(open(path)) if os.path.exists(path) else {}
-    data["decode_sf1"] = rec
-    with open(path, "w") as f:
-        json.dump(data, f, indent=1)
+    from benchutil import merge_results
+    merge_results(os.path.join(REPO, "bench", "scaling_results.json"),
+                  {"decode_sf1": rec})
     print(json.dumps({"decode_sf1_scaling_efficiency": eff,
                       "gb_per_sec_1": legs[1]["decode_gb_per_sec"],
                       "gb_per_sec_4": legs[4]["decode_gb_per_sec"]}))

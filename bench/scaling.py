@@ -22,6 +22,9 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+# bench/ on the path (NOT the repo root: bench.py there shadows
+# the package name) for the shared benchutil helpers
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def run_bench(sf_dir: str, cpus: int, rows: int | None = None,
@@ -43,8 +46,8 @@ def run_bench(sf_dir: str, cpus: int, rows: int | None = None,
         env["DUMPSTER_BENCH_ROWS"] = str(rows)
     out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
                          env=env, capture_output=True, text=True, check=True)
-    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    from benchutil import last_json_line
+    return last_json_line(out.stdout)
 
 
 def main():
@@ -58,7 +61,13 @@ def main():
     if "--levels" in sys.argv:
         i = sys.argv.index("--levels")
         levels = (int(sys.argv[i + 1]), int(sys.argv[i + 2]))
-    assert levels[1] == 4 * levels[0], "north_rule compares N vs 4N"
+    if levels[1] != 4 * levels[0]:
+        # not assert: must survive python -O — publishing an
+        # "efficiency" divided by 4 from a non-4x level pair would be a
+        # wrong gate number, not a crash
+        raise SystemExit(
+            f"--levels {levels[0]} {levels[1]}: the north_rule compares "
+            f"N vs 4N; the second level must be exactly 4x the first")
     rows = None
     if "--rows" in sys.argv:
         rows = int(sys.argv[sys.argv.index("--rows") + 1])
@@ -69,8 +78,10 @@ def main():
                         sys.argv[sys.argv.index("--curve") + 1].split(",")]
 
     results = {}
+    best_dec = {}
     for cpus in list(levels) + [c for c in curve_levels if c not in levels]:
         best = None
+        bd = None
         n_try = trials if cpus in levels else 1
         for t in range(n_try):
             r = run_bench(sf_dir, cpus, rows, minimal=(cpus != levels[1]))
@@ -79,12 +90,20 @@ def main():
                   f"{r['decode_gb_per_sec']} GB/s", file=sys.stderr)
             if best is None or r["encode_gb_per_sec"] > best["encode_gb_per_sec"]:
                 best = r
+            # decode best tracked INDEPENDENTLY: selecting the invocation
+            # by encode alone let one host-noise window in the winning
+            # invocation's decode leg halve the published decode
+            # efficiency (round-5 review finding) — best-of is the whole
+            # point of running multiple invocations
+            if bd is None or r["decode_gb_per_sec"] > bd:
+                bd = r["decode_gb_per_sec"]
         results[cpus] = best
+        best_dec[cpus] = bd
 
     n_lo, n_hi = levels
     r8, r32 = results[n_lo], results[n_hi]
     eff_enc = (r32["encode_gb_per_sec"] / r8["encode_gb_per_sec"]) / 4
-    eff_dec = (r32["decode_gb_per_sec"] / r8["decode_gb_per_sec"]) / 4
+    eff_dec = (best_dec[n_hi] / best_dec[n_lo]) / 4
 
     md = f"""# BENCH — measured results (synthetic pages, FIXTURES F1)
 
@@ -135,11 +154,14 @@ bring 4N× memory channels and 4N× local disks.  This sandbox is one
 single-socket shared-host VM with two hard limits a real cluster does not
 have:
 
-1. **Shared DRAM controller.** A pure `np.copyto` memcpy control (nothing
-   of ours in the loop) measures 0.5 GB/s at 1 proc but only ~6.8 GB/s
-   aggregate at 32 procs — memcpy itself scales 8→32 at under 0.5
-   efficiency, so no byte-moving engine can scale linearly to 32 threads
-   on this box.
+1. **Shared DRAM controller.** A pure `np.copyto` memcpy control
+   (`bench/memcpy_control.py`, barrier-synchronized since round 5 —
+   nothing of ours in the loop) scales 1→4 near-linearly (0.86-1.22
+   across runs) but 8→32 at **0.18-0.38** (aggregate 58-62 GB/s at 8
+   procs vs 45-89 GB/s at 32 across runs) — past ~8 concurrent copiers
+   the shared bus saturates, so no byte-moving engine can scale linearly
+   to 32 threads on this box, while the 1→4 pair sits inside the linear
+   region.
 2. **Noisy neighbours on the host.** Identical back-to-back bench trials
    vary up to 4× (see `encode_trials_sec` in the JSON) while pure-CPU spin
    loops stay flat — bandwidth-bound phases stall when another tenant
@@ -185,27 +207,32 @@ Other local-mode engineering notes (dumpster/session.py):
     if os.path.exists(bench_md):
         cur = open(bench_md).read()
         i = cur.find(marker)
-        if i >= 0:
-            tail = cur[cur.index("\n", i) + 1:]
-    with open(bench_md, "w") as f:
-        f.write(md + tail)
+        if i < 0:
+            # the marker is the contract protecting every hand-written
+            # section — without it a rewrite would silently discard them
+            # (round-5 review finding); write alongside instead
+            alt = bench_md + ".generated"
+            with open(alt, "w") as f:
+                f.write(md)
+            print(f"BENCH.md has no '{marker}' marker — wrote the "
+                  f"generated section to {alt} instead of overwriting",
+                  file=sys.stderr)
+            bench_md = None
+        else:
+            nl = cur.find("\n", i)
+            tail = cur[nl + 1:] if nl >= 0 else ""
+    if bench_md is not None:
+        with open(bench_md, "w") as f:
+            f.write(md + tail)
     # merge, don't overwrite: other runners record their own keys here
     # (decode_scaling_sf1.py writes "decode_sf1") and a refresh of the
     # encode pair must not silently drop them
-    res_path = os.path.join(REPO, "bench", "scaling_results.json")
-    data = {}
-    if os.path.exists(res_path):
-        try:
-            with open(res_path) as f:
-                data = json.load(f)
-        except Exception:
-            data = {}
-    data.update({"levels": list(levels), f"local{n_lo}": r8,
-                 f"local{n_hi}": r32,
-                 "encode_scaling_efficiency": round(eff_enc, 4),
-                 "decode_scaling_efficiency": round(eff_dec, 4)})
-    with open(res_path, "w") as f:
-        json.dump(data, f, indent=1)
+    from benchutil import merge_results
+    merge_results(os.path.join(REPO, "bench", "scaling_results.json"),
+                  {"levels": list(levels), f"local{n_lo}": r8,
+                   f"local{n_hi}": r32,
+                   "encode_scaling_efficiency": round(eff_enc, 4),
+                   "decode_scaling_efficiency": round(eff_dec, 4)})
     print(json.dumps({"encode_scaling_efficiency": round(eff_enc, 4),
                       "decode_scaling_efficiency": round(eff_dec, 4),
                       "size_ratio_vs_reference": r32["size_ratio_vs_reference"]}))

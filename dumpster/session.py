@@ -41,8 +41,13 @@ def get_spark(app: str = "dumpster", cores: int | str | None = None,
               chunk_rows: int = DEFAULT_CHUNK_ROWS,
               extra: dict | None = None) -> SparkSession:
     cores = cores or os.environ.get("SPARK_GRAFT_CPUS", "*")
-    shuffle_parts = 32 if cores == "*" else max(int(cores), 4)
-    task_cpus = _auto_task_cpus(32 if cores == "*" else int(cores))
+    # '*' resolves to the REAL core count, not a literal 32: on a small
+    # machine the hardcoded value set task.cpus=2 and halved the already
+    # small slot count — the exact configuration _auto_task_cpus exists
+    # to avoid at low core counts (round-5 review finding)
+    n_cores = (os.cpu_count() or 4) if cores == "*" else int(cores)
+    shuffle_parts = max(n_cores, 4)
+    task_cpus = _auto_task_cpus(n_cores)
     b = (SparkSession.builder
          .master(f"local[{cores}]")
          .appName(app)

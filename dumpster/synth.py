@@ -153,8 +153,18 @@ def materialize_pages(spark: SparkSession, n_rows: int, path: str,
     full = os.path.join(path, f"pages_n{n_rows}_s{seed}.parquet")
     if not os.path.exists(full):
         # uncompressed: html is incompressible anyway and the bench should
-        # measure the engine, not parquet-snappy decode of its own input
+        # measure the engine, not parquet-snappy decode of its own input.
+        # The tmp dir is per-process so two concurrent materializers
+        # cannot interleave part files in ONE staging dir (round-5 review
+        # finding); whoever publishes first wins, the loser discards
+        tmp = f"{full}.tmp.{os.getpid()}"
         (synth_pages(spark, n_rows, seed).write.mode("overwrite")
-         .option("compression", "none").parquet(full + ".tmp"))
-        os.replace(full + ".tmp", full)
+         .option("compression", "none").parquet(tmp))
+        try:
+            os.replace(tmp, full)
+        except OSError:
+            if not os.path.exists(full):
+                raise          # real failure, not a lost publish race
+            import shutil
+            shutil.rmtree(tmp, ignore_errors=True)
     return full
