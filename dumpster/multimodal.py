@@ -79,6 +79,54 @@ def decode_media(blob: bytes, kind: str = "image", *, fake: bool = False,
     return (h % np.uint64(10_000)).astype(np.float32) / 10_000.0
 
 
+def _fake_features(arr: pa.Array, dim: int) -> pa.Array:
+    """The vectorized fake-feature kernel over one binary/large_binary
+    Arrow array: gather each blob's first dim*8 bytes into a zero-padded
+    (n, dim*8) matrix (no per-blob Python), view as uint64 lanes,
+    hash-normalize; NULL rows come back null.  Module-level (not a
+    closure) so the large_binary/int64-offset leg is directly testable
+    — the round-5 review found that path untestable through Spark alone
+    (Spark delivers regular binary unless useLargeVarTypes is on)."""
+    n = len(arr)
+    # offset width follows the ACTUAL type: large_binary carries int64
+    # offsets (spark.sql.execution.arrow.useLargeVarTypes) and reading
+    # them as int32 interleaves low/high words — garbage lengths
+    # (round-5 review finding)
+    odt = (np.int64 if pa.types.is_large_binary(arr.type)
+           or pa.types.is_large_string(arr.type) else np.int32)
+    osz = 8 if odt is np.int64 else 4
+    offs = np.frombuffer(arr.buffers()[1], dtype=odt,
+                         count=n + 1,
+                         offset=arr.offset * osz).astype(np.int64)
+    dbuf = arr.buffers()[2]
+    data = (np.frombuffer(dbuf, dtype=np.uint8)
+            if dbuf is not None else np.empty(0, np.uint8))
+    lens = np.minimum(np.diff(offs), dim * 8)
+    M = np.zeros((n, dim * 8), dtype=np.uint8)
+    total = int(lens.sum())
+    if total:
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(lens)[:-1])), lens)
+        M[np.repeat(np.arange(n), lens), within] = \
+            data[np.repeat(offs[:-1], lens) + within]
+    h = M.view("<u8")
+    vals = ((h % np.uint64(10_000)).astype(np.float32)
+            / np.float32(10_000.0))
+    feats_arr = pa.FixedSizeListArray.from_arrays(
+        pa.array(vals.ravel(), type=pa.float32()), dim) \
+        .cast(pa.list_(pa.float32()))
+    if arr.null_count:
+        # stay in Arrow: if_else nulls the masked rows without
+        # round-tripping every feature vector through Python lists
+        # (round-5 review finding)
+        import pyarrow.compute as pc
+        feats_arr = pc.if_else(
+            arr.is_null(),
+            pa.nulls(n, type=pa.list_(pa.float32())),
+            feats_arr)
+    return feats_arr
+
+
 def media_features(df: DataFrame, id_col: str, bin_col: str,
                    dim: int = 8, fake: bool = True) -> DataFrame:
     """Feature-extraction fan-out: binary → fixed-dim float vector.
@@ -101,49 +149,10 @@ def media_features(df: DataFrame, id_col: str, bin_col: str,
                      pa.array(out, type=pa.list_(pa.float32()))],
                     names=["id", "features"])
                 continue
-            # vectorized fake features: gather each blob's first dim*8
-            # bytes into a zero-padded (n, dim*8) matrix (no per-blob
-            # Python), view as uint64 lanes, hash-normalize
             arr = blobs.combine_chunks() if isinstance(
                 blobs, pa.ChunkedArray) else blobs
-            n = len(arr)
-            # offset width follows the ACTUAL type: large_binary carries
-            # int64 offsets (spark.sql.execution.arrow.useLargeVarTypes)
-            # and reading them as int32 interleaves low/high words —
-            # garbage lengths (round-5 review finding)
-            odt = (np.int64 if pa.types.is_large_binary(arr.type)
-                   or pa.types.is_large_string(arr.type) else np.int32)
-            offs = np.frombuffer(arr.buffers()[1], dtype=odt,
-                                 count=n + 1 + arr.offset)[arr.offset:]
-            offs = offs.astype(np.int64)
-            dbuf = arr.buffers()[2]
-            data = (np.frombuffer(dbuf, dtype=np.uint8)
-                    if dbuf is not None else np.empty(0, np.uint8))
-            lens = np.minimum(np.diff(offs), dim * 8)
-            M = np.zeros((n, dim * 8), dtype=np.uint8)
-            total = int(lens.sum())
-            if total:
-                within = np.arange(total, dtype=np.int64) - np.repeat(
-                    np.concatenate(([0], np.cumsum(lens)[:-1])), lens)
-                M[np.repeat(np.arange(n), lens), within] = \
-                    data[np.repeat(offs[:-1], lens) + within]
-            h = M.view("<u8")
-            vals = ((h % np.uint64(10_000)).astype(np.float32)
-                    / np.float32(10_000.0))
-            feats_arr = pa.FixedSizeListArray.from_arrays(
-                pa.array(vals.ravel(), type=pa.float32()), dim) \
-                .cast(pa.list_(pa.float32()))
-            if arr.null_count:
-                # stay in Arrow: if_else nulls the masked rows without
-                # round-tripping every feature vector through Python
-                # lists (round-5 review finding)
-                import pyarrow.compute as pc
-                feats_arr = pc.if_else(
-                    arr.is_null(),
-                    pa.nulls(n, type=pa.list_(pa.float32())),
-                    feats_arr)
             yield pa.RecordBatch.from_arrays(
-                [ids.cast(pa.int64()), feats_arr],
+                [ids.cast(pa.int64()), _fake_features(arr, dim)],
                 names=["id", "features"])
 
     return df.select(id_col, bin_col).mapInArrow(

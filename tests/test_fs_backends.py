@@ -129,28 +129,41 @@ def test_directput_clean_run_no_rename_artifacts(spark, pages, tmp_path):
             assert not f.endswith(".tmp") and ".inflight" not in f
 
 
-def test_rename_fs_tmp_names_unique_across_threads():
+def test_rename_fs_tmp_names_unique_across_threads(tmp_path):
     """ADVICE r2: two threads drawing tmp names concurrently must never
-    collide (the old list-cell counter was a non-atomic RMW)."""
+    collide (the old list-cell counter was a non-atomic RMW).  The test
+    drives the REAL ``RenameFS.put`` (round-5 review finding: the
+    previous version re-implemented the name-drawing logic privately,
+    so a regression in put() itself was invisible): eight threads hammer
+    the same destination key; a tmp-name collision interleaves two
+    threads' bytes in one staging file and the published file comes out
+    corrupt (wrong length / mixed content) or a rename blows up."""
     import threading
 
     fs = RenameFS()
-    names = []
+    dest = str(tmp_path / "same_key")
+    payloads = [bytes([65 + i]) * (10_000 + i) for i in range(8)]
+    errs = []
 
-    def record_put(path):
-        # reproduce the name-drawing logic only
-        tmp = (f"{path}.{os.getpid()}-{threading.get_ident()}"
-               f"-{next(fs._seq)}")
-        names.append(tmp)
+    def worker(p):
+        try:
+            for _ in range(200):
+                fs.put(dest, p)
+        except Exception as e:            # noqa: BLE001
+            errs.append(e)
 
-    threads = [threading.Thread(
-        target=lambda: [record_put("/x/y") for _ in range(2000)])
-        for _ in range(8)]
+    threads = [threading.Thread(target=worker, args=(p,))
+               for p in payloads]
     for t in threads:
         t.start()
     for t in threads:
         t.join()
-    assert len(set(names)) == len(names)
+    assert not errs, errs
+    final = open(dest, "rb").read()
+    assert final in payloads, "published file is a mix of two writes"
+    # every staging file was consumed by its own rename — none left
+    leftovers = [f for f in os.listdir(tmp_path) if f != "same_key"]
+    assert leftovers == [], leftovers
 
 
 def test_clean_orphans_sweeps_inflight_staging(spark, pages, tmp_path):

@@ -48,10 +48,19 @@ tables:
     assert glob.glob(os.path.join(by["events"]["out"], "chunks",
                                   "dt=*", "hr=*", "*.dmc"))
 
-    # re-running the same config is the reference's restart: resume-safe
+    # re-running the same config is the reference's restart: resume-safe.
+    # The reported row counts alone cannot catch a resume bug that
+    # APPENDS a second copy (they report the input size) — re-check the
+    # stores' actual contents after the second run (round-5 review
+    # finding)
     results2 = run_jobs(spark, cfg)
     assert {r["table"]: r["rows"] for r in results2} == \
         {r["table"]: r["rows"] for r in results}
+    assert spark.sql("SELECT count(*) FROM dm_documents").collect()[0][0] \
+        == docs.count()
+    dec2 = decode_table(spark, by["events"]["out"])
+    assert dec2.count() == ev.count()
+    assert ev.exceptAll(dec2).count() == 0 and dec2.exceptAll(ev).count() == 0
 
 
 def test_stream_hourly_mode(spark, tmp_path):

@@ -461,16 +461,17 @@ def test_media_features_large_binary_and_nulls(spark):
            for r in media_features(df, "id", "blob", dim=4).collect()}
     assert out[2] is None
     assert len(out[1]) == 4 and len(out[3]) == 4
-    # large offsets leg: drive the Arrow kernel directly with large_binary
-    import inspect
-    # build the same batch shape mapInArrow would deliver, but large
-    arr = pa.array(payloads, type=pa.large_binary())
-    batch = pa.record_batch(
-        [pa.array([1, 2, 3], type=pa.int64()), arr], names=["id", "blob"])
-    feats_fn = None
-    # reach the inner generator through the public API: one-partition run
-    out2 = {r["id"]: r["features"]
-            for r in media_features(
-                spark.createDataFrame(pdf).coalesce(1),
-                "id", "blob", dim=4).collect()}
-    assert out2 == out
+    # large-offsets leg: drive the kernel directly with large_binary
+    # (Spark delivers regular binary, so THIS is the only way the int64
+    # branch executes in tests) — values must be identical to the int32
+    # leg, and a sliced array must respect the byte offset
+    from dumpster.multimodal import _fake_features
+    small = pa.array(payloads, type=pa.binary())
+    large = pa.array(payloads, type=pa.large_binary())
+    f_small = _fake_features(small, 4).to_pylist()
+    f_large = _fake_features(large, 4).to_pylist()
+    assert f_small == f_large
+    assert f_large[1] is None and len(f_large[0]) == 4
+    # and the Spark-path values agree with the kernel values
+    assert [out[1], out[2], out[3]] == f_small
+    assert _fake_features(large.slice(2, 1), 4).to_pylist() == [f_large[2]]

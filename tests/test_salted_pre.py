@@ -69,13 +69,22 @@ def test_pre_resume_encodes_only_missing_buckets(spark, pages, tmp_path):
             if f.startswith(f"b{b:06d}_"):
                 os.remove(os.path.join(out, "chunks", f))
     before = set(os.listdir(os.path.join(out, "chunks")))
+    # chunk names are deterministic, so set-inclusion alone cannot tell
+    # a true resume from a full re-encode — pin the surviving files'
+    # mtimes (round-5 review finding; same discipline as
+    # test_engine_roundtrip's resume test)
+    mtimes = {f: os.path.getmtime(os.path.join(out, "chunks", f))
+              for f in before}
 
     man = encode_table(pages, out, url_col="url", n_buckets=8,
                        chunk_rows=512, mode="salted_pre")
-    # untouched buckets were not rewritten (same chunk files survive) and
-    # the full table decodes exactly
+    # untouched buckets were not rewritten (same chunk files survive,
+    # BYTE-UNTOUCHED per mtime) and the full table decodes exactly
     after = set(os.listdir(os.path.join(out, "chunks")))
     assert before <= after
+    for f in before:
+        assert os.path.getmtime(os.path.join(out, "chunks", f)) \
+            == mtimes[f], f"resume rewrote untouched chunk {f}"
     assert done_buckets(out) == done
     assert encode_summary(man)["rows"] == N_ROWS
     _assert_same(pages, decode_table(spark, out))
@@ -89,12 +98,24 @@ def test_pre_without_url_col_hash_buckets(spark, pages, tmp_path):
 
 
 def test_pre_order_cols_zone_maps_tighten(spark, pages, tmp_path):
+    from dumpster.engine import prune_manifest_files, read_manifest
+
     out = str(tmp_path / "enc")
     man = encode_table(pages, out, url_col="url", n_buckets=4,
                        chunk_rows=256, mode="salted_pre",
                        order_cols=("warc_ts",))
     _assert_same(pages, decode_table(spark, out))
     assert encode_summary(man)["rows"] == N_ROWS
+    # the behavior in the test's name: order_cols must actually tighten
+    # per-chunk warc_ts zones so a narrow ts probe prunes chunk files —
+    # if the pre-shuffle merge dropped the order, every chunk spans the
+    # full ts range and nothing prunes (round-5 review finding: this
+    # used to assert only roundtrip + rows)
+    lo = pages.agg(F.min("warc_ts")).collect()[0][0]
+    rows = read_manifest(spark, out).select("file", "col_stats").collect()
+    kept = prune_manifest_files(rows, ("warc_ts", lo, lo))
+    total = len({r["file"] for r in rows})
+    assert 0 < len(kept) < total, (len(kept), total)
 
 
 def test_unknown_mode_raises(pages, tmp_path):

@@ -73,6 +73,13 @@ def test_join_of_view_with_itself(spark, docs_view):
 def test_count_star_narrowed_to_sentinel(spark, docs_view):
     q = "SELECT count(*) AS n FROM sf_docs"
     assert sqlfront.sql(spark, q).collect()[0]["n"] == 500
+    # the narrowing itself (the behavior in the test's name): the plan
+    # walk must report at most ONE required column for a bare count(*)
+    # — a strict subset of the 5-column view, which is what routes
+    # sql() to a single-column registration (round-5 review finding:
+    # the count alone also passes on a full-width scan)
+    need = sqlfront.required_view_columns(spark, q, {"sf_docs"})
+    assert "sf_docs" in need and len(need["sf_docs"]) <= 1, need
 
 
 @pytest.fixture(scope="module")
@@ -182,6 +189,10 @@ def test_concurrent_sql_and_register_exact(spark, docs_view, tmp_path):
         t.start()
     for t in threads:
         t.join(timeout=300)
+    # a deadlocked thread leaves errors empty — the join timeout alone
+    # must not turn a hang into a green test (round-5 review finding)
+    assert not any(t.is_alive() for t in threads), \
+        "worker thread still running after join timeout (deadlock?)"
     assert not errors, errors
     # the registration standing at the end is full-width and exact
     assert set(spark.table("sf_docs").columns) == {

@@ -56,9 +56,15 @@ def test_hourly_windowed_counts_with_watermark(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.sql("SELECT * FROM hourly_counts").collect()
     assert sum(r["n"] for r in got) == 800
-    # batch-side oracle: same windows from the static frame
-    want = (pages.groupBy(F.window("warc_ts", "1 hour")).count().count())
-    assert len(got) == want
+    # batch-side oracle: PER-WINDOW counts, not just the window count —
+    # an off-by-one hour boundary keeps the totals and the number of
+    # windows identical while every per-hour count is wrong (round-5
+    # review finding)
+    want = {r["window"]["start"]: r["count"]
+            for r in pages.groupBy(
+                F.window("warc_ts", "1 hour")).count().collect()}
+    got_map = {r["hour_start"]: r["n"] for r in got}
+    assert got_map == want
 
 
 def test_stateful_offset_dedup_across_batches(spark, tmp_path):
